@@ -1,0 +1,137 @@
+"""Jitted train / eval step builders.
+
+The whole reference hot loop (scripts/train-nets:137-143) -- batch sampling,
+augmentation, forward, routing, loss, gradients, TALR scaling, momentum
+update -- becomes ONE compiled XLA program per net. Schedules are pure
+functions of the step counter traced into the program (the reference feeds
+them through placeholders each step, scripts/train-nets:24-26,141-143).
+
+Evaluation over a full split compiles to a single `lax.scan` over padded
+fixed-shape batches with a validity mask, reproducing the reference's exact
+sum/count statistics (scripts/lib/desc.py:10-22) without ragged shapes."""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.augment import augmented_batch
+from .net import Ctx
+from .optim import talr_scale_grads, momentum_init, momentum_update
+from .stats import state_stats
+
+
+class Schedules:
+    """Per-step hyper schedules, the analogue of the reference's
+    `expt.hypers(net, t)` feeds (scripts/train-nets:24-26).
+
+    lr:     t -> learning rate (always fed; reference lambda_lrn)
+    tau:    t -> routing temperature, or None to use the net's default hyper
+    k_cpt_sample: array of k_cpt values to sample per-example each batch
+            (train-adaptive-nets:24-27), or None for the net's static k_cpt.
+    """
+
+    def __init__(self, lr=lambda t: 1e-3, tau=None, k_cpt_sample=None):
+        self.lr = lr
+        self.tau = tau
+        self.k_cpt_sample = (None if k_cpt_sample is None
+                             else np.asarray(k_cpt_sample, np.float32))
+
+
+def _hyper(net, name, default):
+    return getattr(net.hypers, name, default)
+
+
+def make_train_step(net, batch_size, schedules, r_shift=4):
+    """Build the jitted train step.
+
+    step(params, state, vel, t, rng, x0_tr, y_tr, m_sym)
+        -> (params, state, vel, c_tot)
+
+    params/state/vel buffers are donated -- updates are in-place in HBM.
+    """
+    mu = float(_hyper(net, "μ_lrn", 0.9))
+    eps_rte = float(_hyper(net, "ϵ", 1e-6))
+    tau_default = float(_hyper(net, "τ", 1.0))
+    k_cpt_static = _hyper(net, "k_cpt", 0.0)
+    alpha_rtr = float(_hyper(net, "α_rtr", 1.0))
+    talr = bool(_hyper(net, "talr", True))
+
+    def step(params, state, vel, t, rng, x0_tr, y_tr, m_sym):
+        key = jax.random.fold_in(rng, t)
+        k_aug, k_drop, k_cpt_key = jax.random.split(key, 3)
+        xb, yb = augmented_batch(k_aug, x0_tr, y_tr, m_sym, batch_size,
+                                 r_shift)
+        tau = schedules.tau(t) if schedules.tau is not None else tau_default
+        if schedules.k_cpt_sample is not None:
+            k_cpt = jax.random.choice(
+                k_cpt_key, jnp.asarray(schedules.k_cpt_sample),
+                (batch_size,))
+        else:
+            k_cpt = k_cpt_static
+        ctx = Ctx(train=True, rng=k_drop, tau=tau, eps=eps_rte, k_cpt=k_cpt)
+
+        def loss_fn(p):
+            recs, new_state = net.forward(p, state, xb, yb, ctx)
+            c_tot = net.loss(recs, batch_size, ctx)
+            p_tr_by_uid = {
+                str(l._uid): recs[l].p_tr
+                for l in net.layers if recs[l].p_tr is not None}
+            return c_tot, (new_state, p_tr_by_uid)
+
+        (c_tot, (new_state, p_tr_by_uid)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        if net.uses_expectation_optimizer:
+            grads = talr_scale_grads(net, grads, p_tr_by_uid,
+                                     alpha_rtr=alpha_rtr, talr=talr)
+
+        lr = schedules.lr(t)
+        new_params, new_vel = momentum_update(params, vel, grads, lr, mu)
+        return new_params, new_state, new_vel, c_tot
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_split_fn(net, batch_size):
+    """Build a jitted full-split evaluator.
+
+    eval_split(params, state, x0s, ys, masks, tau, k_cpt) -> dict of
+    per-split SUMS of the per-example stats (divide by the true example
+    count on the host to get the reference's dataset means,
+    scripts/lib/desc.py:10-22). x0s/ys/masks are (n_batches, B, ...) padded
+    stacks from Dataset.padded_split."""
+    eps_rte = float(_hyper(net, "ϵ", 1e-6))
+
+    def eval_batch(params, state, x0b, yb, maskb, tau, k_cpt):
+        ctx = Ctx(train=False, rng=None, tau=tau, eps=eps_rte, k_cpt=k_cpt)
+        recs, _ = net.forward(params, state, x0b, yb, ctx)
+        net.route_for_stats(recs, batch_size, ctx)
+        stats = state_stats(net, recs, yb)
+        # Mask out padding and sum over the batch axis.
+        def msum(v):
+            m = maskb.reshape((-1,) + (1,) * (v.ndim - 1))
+            return jnp.sum(v * m, axis=0)
+        return {k: msum(v) for k, v in stats.items()}
+
+    def eval_split(params, state, x0s, ys, masks, tau, k_cpt):
+        def body(carry, inp):
+            x0b, yb, mb = inp
+            sums = eval_batch(params, state, x0b, yb, mb, tau, k_cpt)
+            return jax.tree.map(jnp.add, carry, sums), None
+
+        shapes = jax.eval_shape(eval_batch, params, state, x0s[0], ys[0],
+                                masks[0], tau, k_cpt)
+        init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        sums, _ = jax.lax.scan(body, init, (x0s, ys, masks))
+        return sums
+
+    return jax.jit(eval_split)
+
+
+def init_training(net, seed=0):
+    """(params, state, vel) for a fresh net."""
+    params, state = net.init(jax.random.PRNGKey(seed))
+    vel = momentum_init(params)
+    return params, state, vel

@@ -1,0 +1,151 @@
+"""Experiment training drivers.
+
+Reproduces the observable behavior of the reference CLIs:
+
+- `train_experiment` == scripts/train-nets:132-164: per net in the
+  experiment, train n_iter steps, every t_log steps evaluate both splits and
+  save `nets/<expt>/<i>-stats/<t>.npy` + `nets/<expt>/<i>-stats.npy` +
+  append the rendered text tree to `nets/<expt>/<i>-log.txt`; finally
+  `write_net('nets/<expt>/<i>.npy')`.
+- `train_adaptive_experiment` == scripts/train-adaptive-nets:89-107: one net
+  with per-example k_cpt sampled per batch; after training, one stats file
+  per k_cpt value (so downstream plots see an 8-net sweep) + `net.npy`.
+
+TPU-native differences: the hot loop calls one donated jitted step (no
+feeds); evaluation is a jitted lax.scan per split; checkpoints additionally
+carry momentum + step for resume. n_iter / t_log / batch_size are
+parameterizable for smoke runs but default to the reference's values."""
+
+import os
+import time
+
+import numpy as np
+import jax
+
+from . import experiments as cfg
+from .data import Dataset
+from .models.steps import Schedules, make_train_step, make_eval_split_fn, \
+    init_training
+from .utils.desc import net_desc, render_net_desc
+from .utils.serdes import write_net
+
+__all__ = ["train_one_net", "train_experiment", "train_adaptive_experiment"]
+
+
+def _tau_at(tau_fn, t, net):
+    if tau_fn is None:
+        return float(getattr(net.hypers, "τ", 1.0))
+    return float(tau_fn(t))
+
+
+def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
+                  batch_size, out_dir=None, net_index=0, seed=0,
+                  eval_batch_size=None, k_cpt_eval=None, verbose=True,
+                  save_snapshots=True):
+    """Train a single net; returns (params, state, final_desc)."""
+    eval_batch_size = eval_batch_size or batch_size
+    params, state, vel = init_training(net, seed)
+    step = make_train_step(net, batch_size, schedules)
+    eval_split = make_eval_split_fn(net, eval_batch_size)
+    x0_tr, y_tr, m_sym = dataset.train_arrays
+    rng = jax.random.PRNGKey(seed + 1)
+    desc = None
+
+    t0 = time.time()
+    for t in range(n_iter):
+        params, state, vel, c = step(params, state, vel, t, rng,
+                                     x0_tr, y_tr, m_sym)
+        if verbose and (t + 1) % 100 == 0:
+            print("  --- Iteration %i ---\r" % (t + 1), end="", flush=True)
+        if (t + 1) % t_log == 0:
+            desc = net_desc(net, dataset, params, state,
+                            batch_size=eval_batch_size,
+                            tau=_tau_at(tau_fn, t, net),
+                            k_cpt=k_cpt_eval, eval_split=eval_split)
+            if out_dir is not None:
+                text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (
+                    out_dir, net_index, t + 1))
+                os.makedirs(out_dir, exist_ok=True)
+                if save_snapshots:
+                    snap_dir = os.path.join(out_dir,
+                                            "%.4i-stats" % net_index)
+                    os.makedirs(snap_dir, exist_ok=True)
+                    np.save(os.path.join(snap_dir, "%.8i.npy" % (t + 1)),
+                            desc)
+                np.save(os.path.join(out_dir, "%.4i-stats.npy" % net_index),
+                        desc)
+                with open(os.path.join(out_dir,
+                                       "%.4i-log.txt" % net_index),
+                          "a+") as f:
+                    f.write(text + "\n")
+                if verbose:
+                    print(text)
+    if verbose:
+        dt = time.time() - t0
+        print("\n  [%i iters in %.1fs — %.0f img/s]"
+              % (n_iter, dt, n_iter * batch_size / max(dt, 1e-9)))
+    return params, state, vel, desc
+
+
+def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
+                     net_indices=None, data_root=".", out_root="nets",
+                     seed=0, verbose=True):
+    """Train every net of a registry experiment
+    (reference scripts/train-nets:159-164)."""
+    expt = cfg.make_experiments()[expt_name]
+    dataset = Dataset(os.path.join(data_root, expt.dataset))
+    n_iter = n_iter or cfg.n_iter
+    t_log = t_log or cfg.t_log
+    batch_size = batch_size or cfg.batch_size
+    out_dir = os.path.join(out_root, expt_name)
+    indices = net_indices if net_indices is not None \
+        else range(len(expt.nets))
+
+    for i in indices:
+        net = expt.nets[i](dataset.x0_shape, dataset.y_shape)
+        schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau)
+        params, state, vel, _ = train_one_net(
+            net, dataset, schedules=schedules, tau_fn=expt.tau,
+            n_iter=n_iter, t_log=t_log, batch_size=batch_size,
+            out_dir=out_dir, net_index=i, seed=seed + i, verbose=verbose)
+        os.makedirs(out_dir, exist_ok=True)
+        write_net(os.path.join(out_dir, "%.4i.npy" % i), net, params, state,
+                  extra={"vel": vel, "t": n_iter})
+
+
+def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,
+                              data_root=".", out_root="nets", seed=0,
+                              verbose=True):
+    """Train one adaptive (dyn_k_cpt) net, then evaluate it once per k_cpt
+    value writing one stats file each
+    (reference scripts/train-adaptive-nets:89-107)."""
+    expt = cfg.make_adaptive_experiments()[expt_name]
+    dataset = Dataset(os.path.join(data_root, expt.dataset))
+    n_iter = n_iter or cfg.n_iter
+    batch_size = batch_size or cfg.batch_size
+    out_dir = os.path.join(out_root, expt_name)
+
+    net = expt.net(dataset.x0_shape, dataset.y_shape)
+    schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau,
+                          k_cpt_sample=cfg.k_cpts)
+    params, state, vel = init_training(net, seed)
+    step = make_train_step(net, batch_size, schedules)
+    x0_tr, y_tr, m_sym = dataset.train_arrays
+    rng = jax.random.PRNGKey(seed + 1)
+    for t in range(n_iter):
+        params, state, vel, c = step(params, state, vel, t, rng,
+                                     x0_tr, y_tr, m_sym)
+        if verbose and (t + 1) % 100 == 0:
+            print("  --- Iteration %i ---\r" % (t + 1), end="", flush=True)
+
+    os.makedirs(out_dir, exist_ok=True)
+    eval_split = make_eval_split_fn(net, batch_size)
+    tau_final = _tau_at(expt.tau, n_iter - 1, net)
+    for i, k_cpt in enumerate(cfg.k_cpts):
+        desc = net_desc(net, dataset, params, state, batch_size=batch_size,
+                        tau=tau_final, k_cpt=k_cpt, eval_split=eval_split)
+        np.save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
+    write_net(os.path.join(out_dir, "net.npy"), net, params, state,
+              extra={"vel": vel, "t": n_iter})
+    if verbose:
+        print()
