@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark: actor-net training throughput on the real chip.
+
+Measures the BASELINE.json headline metric -- CIFAR-10-shaped actor-net
+training images/sec/chip -- on the flagship 8-deep dynamically-routed chain
+(reference scripts/arch_and_hypers.py:88-97) with the reference's batch size
+128, full augmentation, routing, TALR and momentum in one jitted step.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+The driver's north star is >=20x the TF1 reference's images/sec/chip. We
+take 1250 img/s as the reference estimate (batch 128 at ~10 steps/s for a
+TF1 feed_dict + per-image-Python-augmentation pipeline on a contemporary
+GPU -- the pipeline, not the GPU, was the bottleneck; SURVEY.md section 3.1)
+and report value / (20 * 1250), so vs_baseline >= 1.0 means the 20x
+north-star target is met.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_IMAGES_PER_SEC = 1250.0   # estimated TF1 reference throughput (see above)
+NORTH_STAR_MULT = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # bf16 compute for the MXU (fp32 master params + fp32 accumulation).
+    from mpnn_tpu.ops import config
+    config.set_compute_dtype(jnp.bfloat16)
+
+    from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size
+    from mpnn_tpu.models import Schedules, make_train_step, init_training
+    from mpnn_tpu.data import Dataset, synth
+
+    # CIFAR-10-shaped synthetic data (50k train images, 32x32x3, 10 classes).
+    ds = Dataset(synth.make_synthetic(n_tr=50000, n_ts=512, h=32, w=32,
+                                      n_cls=10, seed=0))
+    net = ac_chain(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
+    params, state, vel = init_training(net, seed=0)
+    sched = Schedules(lr=λ_lrn, tau=τ_ds)
+    step = make_train_step(net, batch_size, sched)
+    x0_tr, y_tr, m_sym = ds.train_arrays
+    rng = jax.random.PRNGKey(0)
+
+    # Warmup: compile + settle.
+    for t in range(3):
+        params, state, vel, c = step(params, state, vel, t, rng,
+                                     x0_tr, y_tr, m_sym)
+    jax.block_until_ready(c)
+
+    n_steps = 200
+    t0 = time.perf_counter()
+    for t in range(3, 3 + n_steps):
+        params, state, vel, c = step(params, state, vel, t, rng,
+                                     x0_tr, y_tr, m_sym)
+    jax.block_until_ready(c)
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(float(c)), f"non-finite loss {float(c)}"
+    value = n_steps * batch_size / dt
+    print(json.dumps({
+        "metric": "cifar10-ac train throughput (8-deep actor chain, b128)",
+        "value": round(value, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / (NORTH_STAR_MULT * REF_IMAGES_PER_SEC),
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

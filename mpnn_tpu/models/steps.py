@@ -43,14 +43,18 @@ def _hyper(net, name, default):
     return getattr(net.hypers, name, default)
 
 
-def make_train_step(net, batch_size, schedules, r_shift=4):
+def make_train_step(net, batch_size, schedules, r_shift=4, mesh=None):
     """Build the jitted train step.
 
     step(params, state, vel, t, rng, x0_tr, y_tr, m_sym)
         -> (params, state, vel, c_tot)
 
     params/state/vel buffers are donated -- updates are in-place in HBM.
-    """
+
+    With a mesh, the sampled batch is shard-constrained over the 'data' axis
+    so the step runs data-parallel across the mesh; XLA emits the gradient
+    all-reduce over ICI (params follow their own input shardings -- use
+    mpnn_tpu.parallel.shard_params to place them)."""
     mu = float(_hyper(net, "μ_lrn", 0.9))
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
     tau_default = float(_hyper(net, "τ", 1.0))
@@ -63,6 +67,11 @@ def make_train_step(net, batch_size, schedules, r_shift=4):
         k_aug, k_drop, k_cpt_key = jax.random.split(key, 3)
         xb, yb = augmented_batch(k_aug, x0_tr, y_tr, m_sym, batch_size,
                                  r_shift)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bs = NamedSharding(mesh, P("data"))
+            xb = jax.lax.with_sharding_constraint(xb, bs)
+            yb = jax.lax.with_sharding_constraint(yb, bs)
         tau = schedules.tau(t) if schedules.tau is not None else tau_default
         if schedules.k_cpt_sample is not None:
             k_cpt = jax.random.choice(
@@ -94,7 +103,7 @@ def make_train_step(net, batch_size, schedules, r_shift=4):
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def make_eval_split_fn(net, batch_size):
+def make_eval_split_fn(net, batch_size, mesh=None):
     """Build a jitted full-split evaluator.
 
     eval_split(params, state, x0s, ys, masks, tau, k_cpt) -> dict of
@@ -105,6 +114,11 @@ def make_eval_split_fn(net, batch_size):
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
 
     def eval_batch(params, state, x0b, yb, maskb, tau, k_cpt):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            bs = NamedSharding(mesh, P("data"))
+            x0b = jax.lax.with_sharding_constraint(x0b, bs)
+            yb = jax.lax.with_sharding_constraint(yb, bs)
         ctx = Ctx(train=False, rng=None, tau=tau, eps=eps_rte, k_cpt=k_cpt)
         recs, _ = net.forward(params, state, x0b, yb, ctx)
         net.route_for_stats(recs, batch_size, ctx)

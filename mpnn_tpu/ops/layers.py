@@ -60,12 +60,21 @@ def _prod(shape):
 
 
 def conv_same(x, w):
-    """Stride-1 SAME 2-D conv, NHWC/HWIO, fp32 accumulation on the MXU."""
-    xc, wc = config.cast_compute(x, w) if config.compute_dtype else (x, w)
+    """Stride-1 SAME 2-D conv, NHWC/HWIO.
+
+    Under a bf16 compute policy, inputs and weights are cast to bf16 and the
+    result cast back to fp32; the TPU MXU accumulates bf16 products in fp32
+    internally, so this is the standard mixed-precision recipe (casting
+    rather than preferred_element_type keeps the VJP dtypes consistent)."""
+    if config.compute_dtype is not None:
+        out = lax.conv_general_dilated(
+            x.astype(config.compute_dtype), w.astype(config.compute_dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.astype(jnp.float32)
     return lax.conv_general_dilated(
-        xc, wc, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def max_pool_same(x, supp, stride):
@@ -83,8 +92,11 @@ def _pool2(x):
 
 
 def _matmul(x, w):
-    xc, wc = config.cast_compute(x, w) if config.compute_dtype else (x, w)
-    return jnp.dot(xc, wc, preferred_element_type=jnp.float32)
+    if config.compute_dtype is not None:
+        out = jnp.dot(x.astype(config.compute_dtype),
+                      w.astype(config.compute_dtype))
+        return out.astype(jnp.float32)
+    return jnp.dot(x, w)
 
 
 ################################################################################
