@@ -41,18 +41,46 @@ def _tau_at(tau_fn, t, net):
 def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
                   batch_size, out_dir=None, net_index=0, seed=0,
                   eval_batch_size=None, k_cpt_eval=None, verbose=True,
-                  save_snapshots=True):
-    """Train a single net; returns (params, state, final_desc)."""
+                  save_snapshots=True, resume=False, profile_dir=None,
+                  mesh=None):
+    """Train a single net; returns (params, state, vel, final_desc).
+
+    Checkpoints are written at every t_log boundary (SURVEY.md section 5:
+    the eval cadence doubles as the resume point -- the reference only
+    checkpoints once at the end, scripts/train-nets:157, losing mid-run
+    crashes). With resume=True, training continues from the saved step.
+    profile_dir captures a jax.profiler trace of a few hot-loop steps."""
     eval_batch_size = eval_batch_size or batch_size
-    params, state, vel = init_training(net, seed)
-    step = make_train_step(net, batch_size, schedules)
-    eval_split = make_eval_split_fn(net, eval_batch_size)
+    t_start = 0
+    params = None
+    ckpt_path = (os.path.join(out_dir, "%.4i.npy" % net_index)
+                 if out_dir is not None else None)
+    if resume and ckpt_path is not None and os.path.exists(ckpt_path):
+        from .utils.serdes import read_net
+        _, params, state, extra = read_net(ckpt_path)
+        if extra is not None and "vel" in extra:
+            vel, t_start = extra["vel"], int(extra["t"])
+            if verbose:
+                print("  [resuming %s at t=%i]" % (ckpt_path, t_start))
+        else:
+            params = None
+    if params is None:
+        params, state, vel = init_training(net, seed)
+    step = make_train_step(net, batch_size, schedules, mesh=mesh)
+    eval_split = make_eval_split_fn(net, eval_batch_size, mesh=mesh)
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
     desc = None
 
     t0 = time.time()
-    for t in range(n_iter):
+    for t in range(t_start, n_iter):
+        if profile_dir is not None and t == t_start + 5:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir is not None and t == t_start + 10:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            if verbose:
+                print("  [profiler trace written to %s]" % profile_dir)
         params, state, vel, c = step(params, state, vel, t, rng,
                                      x0_tr, y_tr, m_sym)
         if verbose and (t + 1) % 100 == 0:
@@ -78,18 +106,24 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
                                        "%.4i-log.txt" % net_index),
                           "a+") as f:
                     f.write(text + "\n")
+                # Periodic checkpoint: the eval cadence doubles as the
+                # resume point (SURVEY.md section 5).
+                write_net(ckpt_path, net, params, state,
+                          extra={"vel": vel, "t": t + 1})
                 if verbose:
                     print(text)
     if verbose:
         dt = time.time() - t0
+        n_run = n_iter - t_start
         print("\n  [%i iters in %.1fs — %.0f img/s]"
-              % (n_iter, dt, n_iter * batch_size / max(dt, 1e-9)))
+              % (n_run, dt, n_run * batch_size / max(dt, 1e-9)))
     return params, state, vel, desc
 
 
 def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
                      net_indices=None, data_root=".", out_root="nets",
-                     seed=0, verbose=True):
+                     seed=0, verbose=True, resume=False, profile_dir=None,
+                     mesh=None):
     """Train every net of a registry experiment
     (reference scripts/train-nets:159-164)."""
     expt = cfg.make_experiments()[expt_name]
@@ -107,7 +141,8 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
         params, state, vel, _ = train_one_net(
             net, dataset, schedules=schedules, tau_fn=expt.tau,
             n_iter=n_iter, t_log=t_log, batch_size=batch_size,
-            out_dir=out_dir, net_index=i, seed=seed + i, verbose=verbose)
+            out_dir=out_dir, net_index=i, seed=seed + i, verbose=verbose,
+            resume=resume, profile_dir=profile_dir, mesh=mesh)
         os.makedirs(out_dir, exist_ok=True)
         write_net(os.path.join(out_dir, "%.4i.npy" % i), net, params, state,
                   extra={"vel": vel, "t": n_iter})

@@ -1,0 +1,108 @@
+"""Training driver (output contract + resume) and figure generation from
+real driver outputs."""
+
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+from mpnn_tpu.data import synth
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    """Run the real driver on a tiny synthetic experiment; share outputs."""
+    root = tmp_path_factory.mktemp("driver")
+    data_dir = root / "data"
+    data_dir.mkdir()
+    np.savez_compressed(data_dir / "synth.npz",
+                        synth.make_synthetic(n_tr=128, n_ts=64, h=32, w=32,
+                                             n_cls=10, seed=0))
+    from mpnn_tpu.train import train_experiment
+    train_experiment("synth-ac", n_iter=10, t_log=5, batch_size=16,
+                     net_indices=[0], data_root=str(root),
+                     out_root=str(root / "nets"), verbose=False)
+    return root
+
+
+def test_output_layout(trained_dir):
+    """Files match the reference layout (scripts/train-nets:144-157)."""
+    out = trained_dir / "nets" / "synth-ac"
+    assert (out / "0000-stats.npy").exists()
+    assert (out / "0000-log.txt").exists()
+    assert (out / "0000.npy").exists()
+    snaps = sorted(glob(str(out / "0000-stats" / "*.npy")))
+    assert [os.path.basename(p) for p in snaps] == [
+        "00000005.npy", "00000010.npy"]
+    log_text = (out / "0000-log.txt").read_text()
+    assert log_text.count("┌") == 2  # one rendered tree per epoch
+
+
+def test_resume_continues(trained_dir):
+    """--resume picks up at the checkpointed step and extends the run."""
+    from mpnn_tpu.train import train_experiment
+    train_experiment("synth-ac", n_iter=15, t_log=5, batch_size=16,
+                     net_indices=[0], data_root=str(trained_dir),
+                     out_root=str(trained_dir / "nets"), verbose=False,
+                     resume=True)
+    out = trained_dir / "nets" / "synth-ac"
+    snaps = sorted(glob(str(out / "0000-stats" / "*.npy")))
+    assert os.path.basename(snaps[-1]) == "00000015.npy"
+    from mpnn_tpu.utils.serdes import read_net
+    _, _, _, extra = read_net(str(out / "0000.npy"))
+    assert int(extra["t"]) == 15
+
+
+def test_figures_from_driver_outputs(trained_dir):
+    """All figure paths work against real driver outputs."""
+    from mpnn_tpu.viz import loading, acc_eff, nld, routing
+    nets_dir = str(trained_dir / "nets")
+    fig_dir = str(trained_dir / "figures")
+    logs = loading.load_experiment_logs(nets_dir)
+    assert "synth-ac" in logs and len(logs["synth-ac"]) == 1
+
+    p = acc_eff.plot_all_experiments(logs, fig_dir)
+    assert p and os.path.exists(p)
+
+    p = nld.render_experiment_grid(logs, "synth-ac",
+                                   os.path.join(fig_dir, "nld.pdf"))
+    assert p and os.path.exists(p)
+    p = nld.render_experiment_grid(logs, "synth-ac",
+                                   os.path.join(fig_dir, "nld-cls.pdf"),
+                                   by_class=True)
+    assert p and os.path.exists(p)
+
+    p = routing.plot_routing_hists(nets_dir, "synth-ac", (0,), fig_dir)
+    assert p and os.path.exists(p)
+    m = routing.stop_mass_history(nets_dir, "synth-ac", 0)
+    assert m.shape[0] == 3  # three snapshots (5, 10, 15)
+    # Each epoch's stopping mass sums to ~1 over reachable depths.
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, rtol=1e-4)
+
+    frames = nld.render_video_frames(
+        loading.load_snapshots(nets_dir, "synth-ac", 0),
+        os.path.join(fig_dir, "vid"))
+    assert len(frames) == 3
+
+
+def test_adaptive_driver(tmp_path):
+    """train-adaptive-nets contract: one stats file per k_cpt + net.npy
+    (reference scripts/train-adaptive-nets:101-107)."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    np.savez_compressed(data_dir / "synth.npz",
+                        synth.make_synthetic(n_tr=96, n_ts=48, h=32, w=32,
+                                             n_cls=10, seed=1))
+    from mpnn_tpu.train import train_adaptive_experiment
+    from mpnn_tpu import experiments as cfg
+    train_adaptive_experiment("synth-ac-dynkcpt", n_iter=6, batch_size=16,
+                              data_root=str(tmp_path),
+                              out_root=str(tmp_path / "nets"),
+                              verbose=False)
+    out = tmp_path / "nets" / "synth-ac-dynkcpt"
+    stats = sorted(glob(str(out / "*-stats.npy")))
+    assert len(stats) == len(cfg.k_cpts)
+    assert (out / "net.npy").exists()
+    d = np.load(stats[0], allow_pickle=True)[()]
+    assert d["type"] == "ActorNet"
