@@ -35,7 +35,8 @@ def main():
     config.set_compute_dtype(jnp.bfloat16)
 
     from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size
-    from mpnn_tpu.models import Schedules, make_train_step, init_training
+    from mpnn_tpu.models import Schedules, init_training
+    from mpnn_tpu.models.steps import make_train_loop
     from mpnn_tpu.data import Dataset, synth
 
     # CIFAR-10-shaped synthetic data (50k train images, 32x32x3, 10 classes).
@@ -44,26 +45,35 @@ def main():
     net = ac_chain(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
     params, state, vel = init_training(net, seed=0)
     sched = Schedules(lr=λ_lrn, tau=τ_ds)
-    step = make_train_step(net, batch_size, sched)
+    # The real training path: t_log-style scanned chunks, one device call
+    # per chunk (mpnn_tpu.models.steps.make_train_loop).
+    loop = make_train_loop(net, batch_size, sched)
     x0_tr, y_tr, m_sym = ds.train_arrays
     rng = jax.random.PRNGKey(0)
 
-    # Warmup: compile + settle.
-    for t in range(3):
-        params, state, vel, c = step(params, state, vel, t, rng,
-                                     x0_tr, y_tr, m_sym)
-    jax.block_until_ready(c)
+    chunk = 250
+    # Warmup: compile + settle. NOTE: sync via host materialization --
+    # block_until_ready has been observed returning early on tunneled
+    # (axon) backends, which silently corrupts timings.
+    params, state, vel, cs = loop(params, state, vel, 0, rng,
+                                  x0_tr, y_tr, m_sym, chunk)
+    np.asarray(cs)
 
-    n_steps = 200
+    n_chunks = 4
     t0 = time.perf_counter()
-    for t in range(3, 3 + n_steps):
-        params, state, vel, c = step(params, state, vel, t, rng,
-                                     x0_tr, y_tr, m_sym)
-    jax.block_until_ready(c)
+    t = chunk
+    for _ in range(n_chunks):
+        params, state, vel, cs = loop(params, state, vel, t, rng,
+                                      x0_tr, y_tr, m_sym, chunk)
+        t += chunk
+    # Chunk N+1 depends on chunk N's params, so materializing the last
+    # chunk's losses bounds all device work.
+    cs_host = np.asarray(cs)
     dt = time.perf_counter() - t0
 
-    assert np.isfinite(float(c)), f"non-finite loss {float(c)}"
-    value = n_steps * batch_size / dt
+    c = float(cs_host[-1])
+    assert np.isfinite(c), f"non-finite loss {c}"
+    value = n_chunks * chunk * batch_size / dt
     print(json.dumps({
         "metric": "cifar10-ac train throughput (8-deep actor chain, b128)",
         "value": round(value, 1),

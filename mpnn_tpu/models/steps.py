@@ -55,6 +55,13 @@ def make_train_step(net, batch_size, schedules, r_shift=4, mesh=None):
     so the step runs data-parallel across the mesh; XLA emits the gradient
     all-reduce over ICI (params follow their own input shardings -- use
     mpnn_tpu.parallel.shard_params to place them)."""
+    step = _train_step_body(net, batch_size, schedules, r_shift, mesh)
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None):
+    """The (un-jitted) single train step; shared by make_train_step and the
+    scan-chained make_train_loop."""
     mu = float(_hyper(net, "μ_lrn", 0.9))
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
     tau_default = float(_hyper(net, "τ", 1.0))
@@ -100,7 +107,36 @@ def make_train_step(net, batch_size, schedules, r_shift=4, mesh=None):
         new_params, new_vel = momentum_update(params, vel, grads, lr, mu)
         return new_params, new_state, new_vel, c_tot
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return step
+
+
+def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None):
+    """Scan-chained training: run n_steps train steps in ONE device call.
+
+    loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps)
+        -> (params, state, vel, losses[n_steps])
+
+    The whole chunk compiles to a single XLA program (`lax.scan` over the
+    step body), which amortizes per-call dispatch overhead -- measured at
+    ~2 ms through a tunneled TPU, i.e. larger than the b128 step's compute
+    itself. This is also simply the TPU-native shape for a training run: the
+    reference crosses host<->device every iteration
+    (scripts/train-nets:141-143); here a t_log-sized span of training is one
+    program. n_steps is static (one compile per distinct chunk size)."""
+    step = _train_step_body(net, batch_size, schedules, r_shift, mesh)
+
+    def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps):
+        def body(carry, t):
+            params, state, vel = carry
+            params, state, vel, c = step(params, state, vel, t, rng,
+                                         x0_tr, y_tr, m_sym)
+            return (params, state, vel), c
+
+        (params, state, vel), cs = jax.lax.scan(
+            body, (params, state, vel), t0 + jnp.arange(n_steps))
+        return params, state, vel, cs
+
+    return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
 
 
 def make_eval_split_fn(net, batch_size, mesh=None):

@@ -24,8 +24,8 @@ import jax
 
 from . import experiments as cfg
 from .data import Dataset
-from .models.steps import Schedules, make_train_step, make_eval_split_fn, \
-    init_training
+from .models.steps import Schedules, make_train_step, make_train_loop, \
+    make_eval_split_fn, init_training
 from .utils.desc import net_desc, render_net_desc
 from .utils.serdes import write_net
 
@@ -66,40 +66,52 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
             params = None
     if params is None:
         params, state, vel = init_training(net, seed)
-    step = make_train_step(net, batch_size, schedules, mesh=mesh)
+    loop = make_train_loop(net, batch_size, schedules, mesh=mesh)
     eval_split = make_eval_split_fn(net, eval_batch_size, mesh=mesh)
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
     desc = None
 
+    if profile_dir is not None:
+        # Capture a short scanned chunk (after a warmup compile+run).
+        params, state, vel, _ = loop(params, state, vel, t_start, rng,
+                                     x0_tr, y_tr, m_sym, 2)
+        jax.block_until_ready(params)
+        t_start += 2
+        jax.profiler.start_trace(profile_dir)
+        params, state, vel, _ = loop(params, state, vel, t_start, rng,
+                                     x0_tr, y_tr, m_sym, 8)
+        jax.block_until_ready(params)
+        jax.profiler.stop_trace()
+        t_start += 8
+        if verbose:
+            print("  [profiler trace written to %s]" % profile_dir)
+
     t0 = time.time()
-    for t in range(t_start, n_iter):
-        if profile_dir is not None and t == t_start + 5:
-            jax.profiler.start_trace(profile_dir)
-        if profile_dir is not None and t == t_start + 10:
-            jax.block_until_ready(params)
-            jax.profiler.stop_trace()
-            if verbose:
-                print("  [profiler trace written to %s]" % profile_dir)
-        params, state, vel, c = step(params, state, vel, t, rng,
-                                     x0_tr, y_tr, m_sym)
-        if verbose and (t + 1) % 100 == 0:
-            print("  --- Iteration %i ---\r" % (t + 1), end="", flush=True)
-        if (t + 1) % t_log == 0:
+    t = t_start
+    while t < n_iter:
+        # One scanned chunk per t_log span: the whole span is a single
+        # device call (no host round-trips inside).
+        n_chunk = min(t_log - (t % t_log), n_iter - t)
+        params, state, vel, cs = loop(params, state, vel, t, rng,
+                                      x0_tr, y_tr, m_sym, n_chunk)
+        t += n_chunk
+        if verbose:
+            print("  --- Iteration %i ---\r" % t, end="", flush=True)
+        if t % t_log == 0:
             desc = net_desc(net, dataset, params, state,
                             batch_size=eval_batch_size,
-                            tau=_tau_at(tau_fn, t, net),
+                            tau=_tau_at(tau_fn, t - 1, net),
                             k_cpt=k_cpt_eval, eval_split=eval_split)
             if out_dir is not None:
                 text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (
-                    out_dir, net_index, t + 1))
+                    out_dir, net_index, t))
                 os.makedirs(out_dir, exist_ok=True)
                 if save_snapshots:
                     snap_dir = os.path.join(out_dir,
                                             "%.4i-stats" % net_index)
                     os.makedirs(snap_dir, exist_ok=True)
-                    np.save(os.path.join(snap_dir, "%.8i.npy" % (t + 1)),
-                            desc)
+                    np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
                 np.save(os.path.join(out_dir, "%.4i-stats.npy" % net_index),
                         desc)
                 with open(os.path.join(out_dir,
@@ -109,7 +121,7 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
                 # Periodic checkpoint: the eval cadence doubles as the
                 # resume point (SURVEY.md section 5).
                 write_net(ckpt_path, net, params, state,
-                          extra={"vel": vel, "t": t + 1})
+                          extra={"vel": vel, "t": t})
                 if verbose:
                     print(text)
     if verbose:
@@ -164,14 +176,18 @@ def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,
     schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau,
                           k_cpt_sample=cfg.k_cpts)
     params, state, vel = init_training(net, seed)
-    step = make_train_step(net, batch_size, schedules)
+    loop = make_train_loop(net, batch_size, schedules)
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
-    for t in range(n_iter):
-        params, state, vel, c = step(params, state, vel, t, rng,
-                                     x0_tr, y_tr, m_sym)
-        if verbose and (t + 1) % 100 == 0:
-            print("  --- Iteration %i ---\r" % (t + 1), end="", flush=True)
+    chunk = min(n_iter, cfg.t_log)
+    t = 0
+    while t < n_iter:
+        n_chunk = min(chunk, n_iter - t)
+        params, state, vel, _ = loop(params, state, vel, t, rng,
+                                     x0_tr, y_tr, m_sym, n_chunk)
+        t += n_chunk
+        if verbose:
+            print("  --- Iteration %i ---\r" % t, end="", flush=True)
 
     os.makedirs(out_dir, exist_ok=True)
     eval_split = make_eval_split_fn(net, batch_size)

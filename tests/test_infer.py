@@ -1,0 +1,101 @@
+"""Routed sparse inference vs dense masked evaluation
+(mpnn_tpu.models.infer)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpnn_tpu.models import ActorNet, init_training, make_eval_split_fn
+from mpnn_tpu.models.infer import make_routed_infer_fn, chain_stages
+from mpnn_tpu.models.net import Ctx
+from mpnn_tpu.models.routing import propagate
+from .test_train_e2e import pyr, rcm, reg
+
+
+@pytest.fixture(scope="module")
+def chain_net(synth_dataset):
+    root = pyr(rcm([8, 8, 8], reg(10),
+                   rcm([8, 8], reg(10),
+                       rcm([8], reg(10)))))
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape, root=root, k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=3)
+    return net, params, state
+
+
+def test_chain_stage_decomposition(chain_net):
+    net, _, _ = chain_net
+    stages = chain_stages(net)
+    # pyr(pass) -> rcm(switch) -> rcm(switch) -> rcm(pass) -> terminal leaf
+    kinds = [("switch" if leaf is not None else
+              ("terminal" if nxt is None else "pass"))
+             for _, leaf, nxt in stages]
+    assert kinds == ["pass", "switch", "switch", "pass", "terminal"]
+
+
+def _dense_reference(net, params, state, x0, y):
+    """Exit pattern + probs via the dense pi_ev path."""
+    B = x0.shape[0]
+    ctx = Ctx(train=False, tau=1.0, eps=1e-6, k_cpt=net.hypers.k_cpt)
+    recs, _ = net.forward(params, state, x0, y, ctx)
+    propagate(net, recs, B, ctx.tau, ctx.eps)
+    # Walk leaves in chain order; each example's exit = the leaf with
+    # p_ev == 1.
+    leaves = [l for l in net.layers if len(l.sinks) == 0]
+    exit_leaf = np.full(B, -1)
+    probs = np.zeros((B, 10), np.float32)
+    for i, l in enumerate(leaves):
+        mask = np.asarray(recs[l].p_ev) > 0.5
+        exit_leaf[mask] = i
+        probs[mask] = np.asarray(recs[l].x)[mask]
+    from mpnn_tpu.models.stats import tot_n_ops
+    moc = sum(np.asarray(recs[l].p_ev) * tot_n_ops(l) for l in net.layers)
+    return exit_leaf, probs, moc
+
+
+def test_full_capacity_matches_dense(chain_net, synth_dataset):
+    """capacities=1.0 reproduces dense hard routing exactly: same exits,
+    same probabilities, same per-example op count (moc realized)."""
+    net, params, state = chain_net
+    B = 64
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    y = jnp.asarray(synth_dataset.y_ts[:B])
+    infer = make_routed_infer_fn(net, B, capacities=1.0)
+    out = infer(params, state, x0)
+
+    exit_leaf, probs, moc = _dense_reference(net, params, state, x0, y)
+    np.testing.assert_array_equal(np.asarray(out["exit_idx"]), exit_leaf)
+    np.testing.assert_allclose(np.asarray(out["probs"]), probs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["ops"]), moc, rtol=1e-6)
+
+
+def test_capacity_forces_exits(chain_net, synth_dataset):
+    """With zero continue capacity every example exits at the first switch,
+    and realized ops drop accordingly."""
+    net, params, state = chain_net
+    B = 32
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    infer_dense = make_routed_infer_fn(net, B, capacities=1.0)
+    infer_tight = make_routed_infer_fn(net, B, capacities=1.0 / B)
+    out_d = infer_dense(params, state, x0)
+    out_t = infer_tight(params, state, x0)
+    # Tight capacity: at most 1 example continues past each switch.
+    assert int(np.sum(np.asarray(out_t["exit_idx"]) > 0)) <= 2
+    assert (np.asarray(out_t["ops"]).mean()
+            <= np.asarray(out_d["ops"]).mean() + 1e-6)
+    # Every example still gets a valid probability vector.
+    np.testing.assert_allclose(np.asarray(out_t["probs"]).sum(1), 1.0,
+                               atol=1e-4)
+
+
+def test_all_examples_assigned(chain_net, synth_dataset):
+    net, params, state = chain_net
+    B = 48
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    infer = make_routed_infer_fn(net, B, capacities=0.5)
+    out = infer(params, state, x0)
+    assert (np.asarray(out["exit_idx"]) >= 0).all()
+    assert (np.asarray(out["ops"]) > 0).all()
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(1), 1.0,
+                               atol=1e-4)

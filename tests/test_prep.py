@@ -1,0 +1,117 @@
+"""Dataset preparation logic against hand-made fixtures
+(reference scripts/prep-data)."""
+
+import numpy as np
+import pytest
+
+from mpnn_tpu.data import prep
+from mpnn_tpu.data.dataset import Dataset
+
+
+def _fake_mnist_mat(n_per_cls=3):
+    rng = np.random.RandomState(0)
+    mat = {}
+    for i in range(10):
+        mat[f"train{i}"] = (rng.rand(n_per_cls, 784) * 255).astype(np.uint8)
+        mat[f"test{i}"] = (rng.rand(2, 784) * 255).astype(np.uint8)
+    return mat
+
+
+def _fake_cifar_batches(n=8):
+    rng = np.random.RandomState(1)
+    def batch(k):
+        return {"data": (rng.rand(k, 3072) * 255).astype(np.uint8),
+                "labels": rng.randint(0, 10, (k, 1))}
+    return [batch(n), batch(n)], [batch(n)]
+
+
+def test_format_mnist():
+    m = prep.format_mnist(_fake_mnist_mat())
+    assert m["x0_tr"].shape == (30, 32, 32, 1)
+    assert m["y_tr"].shape == (30, 10)
+    assert m["x0_tr"].dtype == np.float32
+    assert 0.0 <= m["x0_tr"].min() and m["x0_tr"].max() <= 1.0
+    np.testing.assert_array_equal(m["m_sym"], np.zeros(10))
+    # Labels block-ordered by class (reference prep-data:52-58).
+    np.testing.assert_array_equal(np.argmax(m["y_tr"], 1),
+                                  np.repeat(np.arange(10), 3))
+
+
+def test_format_cifar10_gamma():
+    """CIFAR pixels are gamma-decoded (v/255)^2.2 (reference prep-data:93-99)."""
+    tr, ts = _fake_cifar_batches()
+    c = prep.format_cifar10(tr, ts)
+    assert c["x0_tr"].shape == (16, 32, 32, 3)
+    assert c["x0_ts"].shape == (8, 32, 32, 3)
+    v = tr[0]["data"][0, 0]
+    expect = np.float32((np.float64(v) ** 2.2) / 255 ** 2.2)
+    # data is reshaped (3,32,32) -> transposed to (32,32,3): first byte is
+    # pixel (0,0) channel 0.
+    np.testing.assert_allclose(c["x0_tr"][0, 0, 0, 0], expect, rtol=1e-6)
+    np.testing.assert_array_equal(c["m_sym"], np.ones(10))
+
+
+def test_superclass_projection():
+    tr, ts = _fake_cifar_batches()
+    c10 = prep.format_cifar10(tr, ts)
+    c2 = prep.project_superclasses(c10, prep.CIFAR2_CLASSES)
+    assert c2["y_tr"].shape == (16, 2)
+    np.testing.assert_allclose(c2["y_tr"].sum(1), 1.0)
+    # Class 7 (horse) maps to superclass 0; everything else to 1.
+    cls10 = np.argmax(c10["y_tr"], 1)
+    np.testing.assert_array_equal(np.argmax(c2["y_tr"], 1),
+                                  np.where(cls10 == 7, 0, 1))
+
+
+def test_recolor_seeded_and_min_distance():
+    """Recoloring is deterministic under a seed and enforces the minimum
+    gradient color distance (reference prep-data:144-152)."""
+    x = np.random.RandomState(2).rand(5, 8, 8, 1).astype(np.float32)
+    a = prep.recolor(x, np.random.RandomState(0))
+    b = prep.recolor(x, np.random.RandomState(0))
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (5, 8, 8, 3)
+    # Endpoints v=0 / v=1 map to c0 / c1 with ||c1-c0|| >= 0.3.
+    c0 = prep.recolor(np.zeros((1, 1, 1, 1), np.float32),
+                      np.random.RandomState(7))[0, 0, 0]
+    c1 = prep.recolor(np.ones((1, 1, 1, 1), np.float32),
+                      np.random.RandomState(7))[0, 0, 0]
+    assert np.sqrt(np.sum((c1 - c0) ** 2)) >= 0.3
+
+
+def test_make_hybrid():
+    """Hybrid keeps digits 0-4 + cifar classes {0,1,4,6,7}, remapped to 10
+    one-hot classes with flip mask [0]*5+[1]*5 (reference prep-data:153-188)."""
+    mnist = prep.format_mnist(_fake_mnist_mat())
+    tr, ts = _fake_cifar_batches(16)
+    cifar10 = prep.format_cifar10(tr, ts)
+    h = prep.make_hybrid(mnist, cifar10, seed=0)
+    np.testing.assert_array_equal(h["m_sym"], [0] * 5 + [1] * 5)
+    assert h["x0_tr"].shape[1:] == (32, 32, 3)
+    assert h["y_tr"].shape[1] == 10
+    np.testing.assert_allclose(h["y_tr"].sum(1), 1.0)
+    # Kept MNIST examples: 3 per digit 0-4 = 15 (recolored to RGB).
+    n_mnist_kept = 15
+    n_cifar_kept = sum(np.argmax(cifar10["y_tr"], 1) == c
+                       for c in [0, 1, 4, 6, 7]).sum()
+    assert len(h["x0_tr"]) == n_mnist_kept + n_cifar_kept
+    # Classes are block-ordered 0..9 (reference prep-data:180-184).
+    cls = np.argmax(h["y_tr"], 1)
+    assert (np.diff(cls) >= 0).all()
+
+
+def test_archive_roundtrip(tmp_path):
+    """save_archive output loads through the Dataset's reference schema."""
+    arch = prep.format_mnist(_fake_mnist_mat())
+    path = str(tmp_path / "mini.npz")
+    prep.save_archive(path, arch)
+    ds = Dataset(path, device_put=False)
+    assert ds.x0_shape == (32, 32, 1)
+    assert ds.y_shape == (10,)
+
+
+def test_synthetic_archives(tmp_path):
+    names = prep.make_synthetic_archives(str(tmp_path), small=True)
+    assert "hybrid.npz" in names
+    ds = Dataset(str(tmp_path / "hybrid.npz"), device_put=False)
+    np.testing.assert_array_equal(ds.m_sym, [0] * 5 + [1] * 5)
