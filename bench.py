@@ -28,6 +28,8 @@ NORTH_STAR_MULT = 20.0
 
 def main():
     import jax
+    from mpnn_tpu.utils import jaxcache
+    jaxcache.enable()
     import jax.numpy as jnp
 
     # bf16 compute for the MXU (fp32 master params + fp32 accumulation).

@@ -11,6 +11,19 @@ import jax.numpy as jnp
 
 compute_dtype = None  # None => float32 everywhere
 
+# Use the Pallas fused MultiscaleConvMax kernel (mpnn_tpu.ops.kernels)
+# instead of the unfused XLA conv graph. Off by default; flip with
+# set_use_pallas(True) (the bench does) or per-run CLI flags.
+use_pallas = False
+# Run Pallas kernels in interpreter mode (CPU testing).
+pallas_interpret = False
+
+
+def set_use_pallas(flag, interpret=False):
+    global use_pallas, pallas_interpret
+    use_pallas = flag
+    pallas_interpret = interpret
+
 
 def set_compute_dtype(dtype):
     """Set the global compute dtype (None, jnp.float32, or jnp.bfloat16)."""

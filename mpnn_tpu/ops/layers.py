@@ -387,9 +387,31 @@ class MultiscaleConvMax(Layer):
             params[f"b_{j}"] = jnp.zeros((h.n_chan[j],), jnp.float32)
         return params
 
+    def _pallas_eligible(self):
+        """The fused kernel assumes full supp x supp horizontal kernels
+        (true for every reference arch: smallest scale is 4x4 >= supp=3)
+        and even spatial dims for the in-kernel pool2."""
+        h = self.hypers
+        return (h.supp % 2 == 1 and h.supp > 1
+                and all(s[0] == h.supp and s[1] == h.supp
+                        for s in self._w_horz_shapes)
+                and all(s[0] % 2 == 0 and s[1] % 2 == 0
+                        for s in self.out_shape[:-1]))
+
     def apply(self, params, state, x, y, ctx):
         h = self.hypers
         L = self._L
+        if config.use_pallas and self._pallas_eligible():
+            from .kernels import fused_mcm
+            whs = [params[f"w_horz_{j}"] for j in range(L)]
+            wvs = [params[f"w_vert_{j}"] for j in range(L - 1)]
+            bs = [params[f"b_{j}"] for j in range(L)]
+            out = fused_mcm(x, whs, wvs, bs, h.supp,
+                            config.pallas_interpret)
+            c_mod = h.k_l2 * (
+                sum(jnp.sum(jnp.square(w)) for w in whs)
+                + sum(jnp.sum(jnp.square(w)) for w in wvs))
+            return out, state, Aux(c_mod=c_mod)
         kept = x[len(x) - L:]
         out = [None] * L
         out[0] = params["b_0"] + conv_same(kept[0], params["w_horz_0"])
