@@ -18,7 +18,15 @@ Kernel layout notes (see /opt/skills/guides/pallas_guide.md):
 - grid over batch tiles; each program holds one tile's full pyramid in VMEM
 - weights are pre-packed (kh*kw*C_in, C_out) and live in VMEM unblocked
 - min-tile alignment is left to Mosaic; all shapes here are static
-"""
+
+MEASURED VERDICT (v5e, b128 stage-0 shapes, bf16): this kernel compiles and
+matches the XLA path numerically (<=0.5% rel, bf16 accumulation-order), but
+runs ~4x SLOWER (505us vs 126us per stage forward): with 3-16 channels in
+the lane dimension, register tiles are ~97% padding and the per-tap K=C_in
+matmuls underutilize the MXU, while XLA's conv uses space-to-depth internal
+layouts. It therefore stays OFF by default; the XLA conv path is the
+production path on TPU. Kept as a correct, tested scaffold for a future
+channel-packed layout."""
 
 import functools
 
@@ -73,8 +81,11 @@ def mcm_xla(xs, whs, wvs, bs):
 
 def _mcm_kernel(L, shapes, out_shapes, supp, *refs):
     """Pallas kernel body. refs = [x_0..x_{L-1}, whp_0.., wvp_0.., b_0..,
-    out_0..]. Processes one batch tile: for each scale, im2col + one MXU
-    matmul; vertical path pools the previous scale's fp32 output in VMEM."""
+    out_0..]. Processes one batch tile: each scale's conv is supp^2
+    tap-shifted matmuls accumulated in fp32 on the MXU (an unrolled im2col;
+    Mosaic's tpu.concatenate can't fuse shifted-layout taps into a single
+    K=supp^2*C matrix, so taps stay separate); the vertical path pools the
+    previous scale's fp32 output in registers."""
     xs = refs[:L]
     whp = refs[L:2 * L]
     wvp = refs[2 * L:3 * L - 1]
@@ -82,28 +93,34 @@ def _mcm_kernel(L, shapes, out_shapes, supp, *refs):
     outs = refs[4 * L - 1:]
     pad = supp // 2
 
-    def conv_im2col(x, wp):
-        # x: (TB, H, W, C) padded spatially then unrolled tap-major.
+    def conv_taps(x, wp, c_in, acc):
+        # x: (TB, H, W, C); wp: (supp*supp*C, Cout) tap-major rows.
         tb, h, w, c = x.shape
         xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        taps = [xp[:, dy:dy + h, dx:dx + w, :]
-                for dy in range(supp) for dx in range(supp)]
-        col = jnp.concatenate(taps, axis=-1).reshape(tb * h * w,
-                                                     supp * supp * c)
-        y = jnp.dot(col, wp[:], preferred_element_type=jnp.float32)
-        return y.reshape(tb, h, w, wp.shape[-1])
+        for dy in range(supp):
+            for dx in range(supp):
+                tap = xp[:, dy:dy + h, dx:dx + w, :].reshape(tb * h * w, c)
+                k = (dy * supp + dx) * c_in
+                wk = wp[k:k + c_in, :]
+                acc = acc + jnp.dot(tap, wk,
+                                    preferred_element_type=jnp.float32)
+        return acc
 
     prev = None
     for j in range(L):
-        acc = conv_im2col(xs[j][:], whp[j]) + bs[j][:]
+        tb, h, w, c = xs[j].shape
+        co = whp[j].shape[-1]
+        acc = jnp.zeros((tb * h * w, co), jnp.float32) + bs[j][:]
+        acc = conv_taps(xs[j][:], whp[j], c, acc)
         if j > 0:
             pooled = _pool2_dense(prev).astype(xs[j].dtype)
-            acc = acc + conv_im2col(pooled, wvp[j - 1])
+            acc = conv_taps(pooled, wvp[j - 1], pooled.shape[-1], acc)
+        acc = acc.reshape(tb, h, w, co)
         outs[j][:] = acc
         prev = acc
 
 
-def fused_mcm_forward(xs, whs, wvs, bs, supp, batch_tile=32,
+def fused_mcm_forward(xs, whs, wvs, bs, supp, batch_tile=4,
                       interpret=False):
     """Run the fused MCM stage via Pallas. xs: pyramid tail (list of NHWC),
     whs/wvs/bs: weight lists as in MultiscaleConvMax params."""
@@ -119,7 +136,7 @@ def fused_mcm_forward(xs, whs, wvs, bs, supp, batch_tile=32,
     kept = [x.astype(cdt) for x in kept]
     whp = [_pack_w(w).astype(cdt) for w in whs]
     wvp = [_pack_w(w).astype(cdt) for w in wvs]
-    bsf = [b.astype(jnp.float32) for b in bs]
+    bsf = [b.astype(jnp.float32).reshape(1, -1) for b in bs]
 
     out_shapes = [
         jax.ShapeDtypeStruct((B,) + kept[j].shape[1:3] + (whs[j].shape[-1],),
