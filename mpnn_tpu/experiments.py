@@ -76,12 +76,15 @@ def pyr(*sinks):
         comps=[ToPyramid(n_scales=len(arch[0]))])
 
 
-def rcm(i, *sinks):
+def rcm(i, *sinks, width=1):
+    """Conv stage; `width` scales every channel count (the 'fat'/'fatter'
+    variants the reference's width-scaling figures consume,
+    scripts/make-acc-eff-plots:218-225)."""
     return Chain(
         name="ReConvMax", sinks=sinks, router=router(len(sinks)),
         comps=[
-            MultiscaleConvMax(n_chan=arch[i], supp=conv_supp,
-                              k_l2=k_l2, σ_w=σ_w),
+            MultiscaleConvMax(n_chan=[width * c for c in arch[i]],
+                              supp=conv_supp, k_l2=k_l2, σ_w=σ_w),
             MultiscaleBatchNorm(), MultiscaleRect()])
 
 
@@ -97,24 +100,24 @@ def reg(n_chan):
 # Network constructors (reference scripts/arch_and_hypers.py:76-139)
 ################################################################################
 
-def sr_chain(n_tf):
+def sr_chain(n_tf, width=1):
     """Statically-routed chain of the first n_tf conv stages."""
     def make_net(x0_shape, y_shape):
         root = reg(y_shape[0])
         for i in reversed(range(n_tf)):
-            root = rcm(i, root)
+            root = rcm(i, root, width=width)
         root = pyr(root)
         return SRNet(x0_shape=x0_shape, y_shape=y_shape, root=root)
     return make_net
 
 
-def dr_chain(type_, **hypers):
+def dr_chain(type_, width=1, **hypers):
     """Dynamically-routed 8-deep chain; every node also feeds an early-exit
     LogReg leaf."""
     def make_net(x0_shape, y_shape):
-        root = rcm(len(arch) - 1, reg(y_shape[0]))
+        root = rcm(len(arch) - 1, reg(y_shape[0]), width=width)
         for i in reversed(range(len(arch) - 1)):
-            root = rcm(i, reg(y_shape[0]), root)
+            root = rcm(i, reg(y_shape[0]), root, width=width)
         root = pyr(root)
         return type_(x0_shape=x0_shape, y_shape=y_shape, root=root, **hypers)
     return make_net
@@ -164,9 +167,10 @@ def cr_tree(**hypers):
 SR_TAU, AC_TAU, CR_TAU = None, τ_ds, τ_cr
 
 
-def _sweep_sr(dataset):
+def _sweep_sr(dataset, width=1):
     return Ns(dataset=dataset,
-              nets=[sr_chain(n) for n in range(1, len(arch) + 1)],
+              nets=[sr_chain(n, width=width)
+                    for n in range(1, len(arch) + 1)],
               tau=SR_TAU)
 
 
@@ -201,6 +205,15 @@ def make_experiments():
         "cifar5-ac": _sweep("data/cifar-5.npz", ac_chain, AC_TAU),
         "cifar10-sr": _sweep_sr("data/cifar-10.npz"),
         "cifar10-ac": _sweep("data/cifar-10.npz", ac_chain, AC_TAU),
+        # Width-scaled variants consumed by the reference's width-scaling
+        # figures (absent from the reference registry itself; SURVEY.md
+        # section 2 #25 notes the plots reference a superset of runs):
+        "cifar10-sr-fat": _sweep_sr("data/cifar-10.npz", width=2),
+        "cifar10-ac-fat": _sweep("data/cifar-10.npz", ac_chain, AC_TAU,
+                                 width=2),
+        "cifar10-sr-fatter": _sweep_sr("data/cifar-10.npz", width=4),
+        "cifar10-ac-fatter": _sweep("data/cifar-10.npz", ac_chain, AC_TAU,
+                                    width=4),
         # Extensions beyond the reference registry (BASELINE.json configs):
         "mnist-sr": _sweep_sr("data/mnist.npz"),
         "cifar10-cr": _sweep("data/cifar-10.npz", cr_chain, CR_TAU),

@@ -7,21 +7,24 @@ scripts/lib/net_types.py:127-129, scripts/train-nets:120). This engine
 realizes the savings on TPU with fully static shapes, using the
 capacity-factor idea from MoE systems:
 
-- examples flow down the chain in a fixed-capacity "active" buffer;
-- after each stage, the router's argmax decides exit-vs-continue
-  (identical to the dense pi_ev rule);
-- continuing examples are compacted to the front (stable argsort) and the
-  next stage processes only a statically-sized prefix (capacity);
-- if more examples want to continue than the capacity allows, the overflow
-  is force-exited at the current early-exit head (the standard capacity
-  trade-off; capacities=1.0 reproduces dense hard routing exactly);
-- exited examples' class probabilities, exit depth and realized op count
-  are scattered to their original batch rows (out-of-range sentinel rows
-  drop, so no masking bookkeeping).
+- examples flow through the routing tree in fixed-capacity "active"
+  buffers (one static buffer size per tree edge);
+- at each switch the router's argmax picks a sink per example (identical
+  to the dense pi_ev rule, net_types.py:127-129);
+- each child's selected examples are compacted to the front of its buffer
+  (stable argsort) and the child subtree processes only that buffer;
+- internal children have capacity ceil(f * batch); selected examples beyond
+  capacity are force-exited through the switch's early-exit leaf (the
+  standard MoE capacity trade-off; f = 1.0 reproduces dense hard routing
+  EXACTLY -- same exits, probabilities, and per-example op counts);
+- exited examples' class probabilities, exit leaf index and realized op
+  count scatter to their original batch rows via out-of-range-sentinel
+  indices with mode='drop' (no masking bookkeeping).
 
-Works for chain-topology nets (every switch = [early-exit leaf, continue]),
-the reference's main experiment family. Tree nets fall back to dense
-evaluation."""
+Handles arbitrary tree topologies (the reference's 3-way-fanout trees
+included), not just chains. Requirements: every switch that can overflow
+(f < 1) must have at least one leaf child to force-exit through -- true of
+every reference architecture."""
 
 import numpy as np
 import jax
@@ -31,9 +34,8 @@ from .net import Ctx
 
 
 def chain_stages(net):
-    """Decompose a chain net into [(node, leaf_or_None, next_or_None)].
-
-    Raises ValueError for non-chain topologies (trees)."""
+    """Decompose a chain net into [(node, leaf_or_None, next_or_None)] --
+    a structural helper (raises ValueError for trees)."""
     stages = []
     cur = net.root
     while True:
@@ -48,8 +50,7 @@ def chain_stages(net):
             cur = cur.sinks[1]
         else:
             raise ValueError(
-                "routed inference requires a chain topology "
-                "(every switch = [leaf, continue]); got a node with sinks "
+                "not a chain topology; got a node with sinks "
                 f"{[s.name for s in cur.sinks]}")
 
 
@@ -60,114 +61,107 @@ def _gather_act(act, idx):
 
 
 def make_routed_infer_fn(net, batch_size, capacities=1.0):
-    """Build a jitted routed-inference function for a chain net.
+    """Build a jitted routed-inference function for any tree net.
 
     infer(params, state, x0) -> dict with
       probs:     (B, n_cls) class probabilities from each example's exit head
-      exit_idx:  (B,) index of the switch stage the example exited at
+      exit_idx:  (B,) preorder index of the leaf the example exited through
       ops:       (B,) realized op count (the measured analogue of `moc`)
 
-    capacities: scalar fraction or per-switch list; stage j+1 processes at
-    most ceil(capacity_j * B) examples. 1.0 == dense hard routing."""
-    stages = chain_stages(net)
-    n_switches = sum(1 for _, leaf, _ in stages if leaf is not None)
+    capacities: scalar fraction, or a per-switch list in preorder; internal
+    children of switch s get buffers of ceil(f_s * B). 1.0 == dense hard
+    routing."""
+    switches = [l for l in net.layers if len(l.sinks) > 1]
     if np.isscalar(capacities):
-        capacities = [float(capacities)] * n_switches
-    caps = []
-    b = batch_size
-    k = 0
-    for node, leaf, nxt in stages:
-        caps.append(b)
-        if leaf is not None:
-            b = min(b, int(np.ceil(capacities[k] * batch_size)))
-            b = max(b, 1)
-            k += 1
-    # caps[i] = active-buffer size while processing stage i.
-
+        fracs = {id(sw): float(capacities) for sw in switches}
+    else:
+        fracs = {id(sw): float(f) for sw, f in zip(switches, capacities)}
+    leaves = [l for l in net.layers if len(l.sinks) == 0]
+    leaf_index = {id(l): i for i, l in enumerate(leaves)}
     n_cls = int(net.hypers.y_shape[0])
     eps_rte = float(getattr(net.hypers, "ϵ", 1e-6))
+
+    for sw in switches:
+        has_leaf_child = any(len(s.sinks) == 0 for s in sw.sinks)
+        if fracs[id(sw)] < 1.0 and not has_leaf_child:
+            raise ValueError(
+                f"switch {sw.name} has capacity < 1 but no leaf child to "
+                "force-exit overflow through")
 
     def infer(params, state, x0):
         ctx = Ctx(train=False, rng=None, tau=1.0, eps=eps_rte,
                   k_cpt=getattr(net.hypers, "k_cpt", 0.0))
-        B = batch_size
-        probs = jnp.zeros((B, n_cls), jnp.float32)
-        exit_idx = jnp.full((B,), -1, jnp.int32)
-        ops_out = jnp.zeros((B,), jnp.float32)
+        B = batch_size  # B doubles as the invalid-index sentinel
+        out = {
+            "probs": jnp.zeros((B, n_cls), jnp.float32),
+            "exit_idx": jnp.full((B,), -1, jnp.int32),
+            "ops": jnp.zeros((B,), jnp.float32),
+        }
 
-        act = x0
-        active_idx = jnp.arange(B, dtype=jnp.int32)  # B == valid sentinel+1
-        ops_acc = jnp.zeros((B,), jnp.float32)
-        np_ptr, ns_ptr = params, state
-        y_dummy = jnp.zeros((caps[0], n_cls), jnp.float32)
-
-        switch_i = 0
-        for si, (node, leaf, nxt) in enumerate(stages):
-            cap = caps[si]
-            yd = y_dummy[:cap]
-            act, _, aux = node.apply(np_ptr["layer"], ns_ptr["layer"], act,
-                                     yd, ctx)
+        def recurse(node, p, s, act, active_idx, ops_acc, cap):
+            yd = jnp.zeros((cap, n_cls), jnp.float32)
+            act, _, _ = node.apply(p["layer"], s["layer"], act, yd, ctx)
             ops_acc = ops_acc + node.n_ops
 
-            if leaf is None and nxt is None:
-                # Terminal leaf: remaining active examples exit with this
-                # node's own (softmax) output.
-                out_p = act
-                valid = active_idx < B
-                idx = jnp.where(valid, active_idx, B)
-                probs = probs.at[idx].set(out_p.astype(jnp.float32),
-                                          mode="drop")
-                exit_idx = exit_idx.at[idx].set(switch_i, mode="drop")
-                ops_out = ops_out.at[idx].set(ops_acc, mode="drop")
-                break
+            if len(node.sinks) == 0:
+                # Exit head reached: scatter results to original rows.
+                idx = jnp.where(active_idx < B, active_idx, B)
+                out["probs"] = out["probs"].at[idx].set(
+                    act.astype(jnp.float32), mode="drop")
+                out["exit_idx"] = out["exit_idx"].at[idx].set(
+                    leaf_index[id(node)], mode="drop")
+                out["ops"] = out["ops"].at[idx].set(ops_acc, mode="drop")
+                return
 
-            if leaf is None:
-                # Pass-through node (e.g. the pyramid builder).
-                np_ptr = np_ptr["sinks"][0]
-                ns_ptr = ns_ptr["sinks"][0]
-                continue
+            if len(node.sinks) == 1:
+                recurse(node.sinks[0], p["sinks"][0], s["sinks"][0], act,
+                        active_idx, ops_acc, cap)
+                return
 
-            # Switch: early-exit head + router decision.
+            # Switch: router argmax decides the sink per example.
             r_x, _, _ = node.router.apply(
-                np_ptr["router"], ns_ptr["router"],
-                net._router_input(act, ctx), yd, ctx)
-            leaf_p = np_ptr["sinks"][0]
-            leaf_s = ns_ptr["sinks"][0]
-            out_p, _, _ = leaf.apply(leaf_p["layer"], leaf_s["layer"], act,
-                                     yd, ctx)
-
+                p["router"], s["router"], net._router_input(act, ctx), yd,
+                ctx)
+            ops_acc = ops_acc + node.router.n_ops
             valid = active_idx < B
-            cont = (jnp.argmax(r_x, axis=1) == 1) & valid
-            # Capacity: continuing examples compact to the front; overflow
-            # beyond the next stage's capacity force-exits here.
-            next_cap = caps[si + 1]
-            order = jnp.argsort(~cont, stable=True)  # continuers first
-            rank_of = jnp.argsort(order, stable=True)
-            kept = cont & (rank_of < next_cap)
-            exits = valid & ~kept
+            choice = jnp.argmax(r_x, axis=1)
+            frac = fracs[id(node)]
+            first_leaf = next((i for i, sk in enumerate(node.sinks)
+                               if len(sk.sinks) == 0), None)
 
-            # Exiting examples (router chose the leaf, or overflowed):
-            # record this head's output. Exiters also paid the router and
-            # the leaf head (reference moc counts router ops at switches
-            # and the leaf's ops for exiters: scripts/train-nets:119-120).
-            ops_here = ops_acc + node.router.n_ops
-            idx = jnp.where(exits, active_idx, B)
-            probs = probs.at[idx].set(out_p.astype(jnp.float32),
-                                      mode="drop")
-            exit_idx = exit_idx.at[idx].set(switch_i, mode="drop")
-            ops_out = ops_out.at[idx].set(ops_here + leaf.n_ops,
-                                          mode="drop")
+            # Internal children first: capacity-cap their selections and
+            # collect the overflow.
+            sels = [(choice == i) & valid for i in range(len(node.sinks))]
+            overflow = jnp.zeros((cap,), bool)
+            plans = []
+            for i, sink in enumerate(node.sinks):
+                if len(sink.sinks) == 0:
+                    continue
+                child_cap = max(1, min(cap,
+                                       int(np.ceil(frac * batch_size))))
+                sel = sels[i]
+                order = jnp.argsort(~sel, stable=True)
+                rank = jnp.argsort(order, stable=True)
+                kept = sel & (rank < child_cap)
+                overflow = overflow | (sel & ~kept)
+                plans.append((i, sink, kept, order[:child_cap]))
+            # Leaf children: their own selections, plus (for the first leaf)
+            # everything that overflowed an internal child.
+            for i, sink in enumerate(node.sinks):
+                if len(sink.sinks) != 0:
+                    continue
+                sel = sels[i] | (overflow if i == first_leaf else False)
+                order = jnp.argsort(~sel, stable=True)
+                plans.append((i, sink, sel, order[:cap]))
 
-            # Compact continuers into the next stage's buffer.
-            perm = order[:next_cap]
-            act = _gather_act(act, perm)
-            active_idx = jnp.where(kept[perm], active_idx[perm], B)
-            ops_acc = ops_here[perm]
-            y_dummy = y_dummy[:next_cap]
-            np_ptr = np_ptr["sinks"][1]
-            ns_ptr = ns_ptr["sinks"][1]
-            switch_i += 1
+            for i, sink, kept, perm in plans:
+                child_idx = jnp.where(kept[perm], active_idx[perm], B)
+                recurse(sink, p["sinks"][i], s["sinks"][i],
+                        _gather_act(act, perm), child_idx, ops_acc[perm],
+                        len(perm))
 
-        return {"probs": probs, "exit_idx": exit_idx, "ops": ops_out}
+        recurse(net.root, params, state, x0, jnp.arange(B, dtype=jnp.int32),
+                jnp.zeros((B,), jnp.float32), B)
+        return out
 
     return jax.jit(infer)

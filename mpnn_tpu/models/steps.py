@@ -69,7 +69,7 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None):
     alpha_rtr = float(_hyper(net, "α_rtr", 1.0))
     talr = bool(_hyper(net, "talr", True))
 
-    def step(params, state, vel, t, rng, x0_tr, y_tr, m_sym):
+    def step(params, state, vel, t, rng, x0_tr, y_tr, m_sym, k_cpt=None):
         key = jax.random.fold_in(rng, t)
         k_aug, k_drop, k_cpt_key = jax.random.split(key, 3)
         xb, yb = augmented_batch(k_aug, x0_tr, y_tr, m_sym, batch_size,
@@ -84,7 +84,10 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None):
             k_cpt = jax.random.choice(
                 k_cpt_key, jnp.asarray(schedules.k_cpt_sample),
                 (batch_size,))
-        else:
+        elif k_cpt is None:
+            # Fall back to the net's static hyper (baked into the graph).
+            # Callers that pass k_cpt as a traced scalar instead share ONE
+            # compiled program across a whole k_cpt sweep.
             k_cpt = k_cpt_static
         ctx = Ctx(train=True, rng=k_drop, tau=tau, eps=eps_rte, k_cpt=k_cpt)
 
@@ -125,11 +128,12 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None):
     program. n_steps is static (one compile per distinct chunk size)."""
     step = _train_step_body(net, batch_size, schedules, r_shift, mesh)
 
-    def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps):
+    def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
+             k_cpt=None):
         def body(carry, t):
             params, state, vel = carry
             params, state, vel, c = step(params, state, vel, t, rng,
-                                         x0_tr, y_tr, m_sym)
+                                         x0_tr, y_tr, m_sym, k_cpt)
             return (params, state, vel), c
 
         (params, state, vel), cs = jax.lax.scan(

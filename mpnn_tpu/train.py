@@ -21,6 +21,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from . import experiments as cfg
 from .data import Dataset
@@ -67,6 +68,10 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
     if params is None:
         params, state, vel = init_training(net, seed)
     loop = make_train_loop(net, batch_size, schedules, mesh=mesh)
+    # Pass the static k_cpt as a traced scalar so every net of a k_cpt
+    # sweep reuses one compiled program (sweeps differ only in this value).
+    k_cpt_traced = (None if schedules.k_cpt_sample is not None
+                    else jnp.float32(getattr(net.hypers, "k_cpt", 0.0)))
     eval_split = make_eval_split_fn(net, eval_batch_size, mesh=mesh)
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
@@ -75,12 +80,12 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
     if profile_dir is not None:
         # Capture a short scanned chunk (after a warmup compile+run).
         params, state, vel, _ = loop(params, state, vel, t_start, rng,
-                                     x0_tr, y_tr, m_sym, 2)
+                                     x0_tr, y_tr, m_sym, 2, k_cpt_traced)
         jax.block_until_ready(params)
         t_start += 2
         jax.profiler.start_trace(profile_dir)
         params, state, vel, _ = loop(params, state, vel, t_start, rng,
-                                     x0_tr, y_tr, m_sym, 8)
+                                     x0_tr, y_tr, m_sym, 8, k_cpt_traced)
         jax.block_until_ready(params)
         jax.profiler.stop_trace()
         t_start += 8
@@ -94,7 +99,8 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
         # device call (no host round-trips inside).
         n_chunk = min(t_log - (t % t_log), n_iter - t)
         params, state, vel, cs = loop(params, state, vel, t, rng,
-                                      x0_tr, y_tr, m_sym, n_chunk)
+                                      x0_tr, y_tr, m_sym, n_chunk,
+                                      k_cpt_traced)
         t += n_chunk
         if verbose:
             print("  --- Iteration %i ---\r" % t, end="", flush=True)

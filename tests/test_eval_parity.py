@@ -1,0 +1,51 @@
+"""Full-split evaluation parity: the padded lax.scan evaluator must equal
+the reference's ragged host-batch sum/count accumulation exactly
+(reference scripts/lib/desc.py:10-22)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpnn_tpu.models import (ActorNet, init_training, make_eval_split_fn,
+                             state_stats)
+from mpnn_tpu.models.net import Ctx
+from .test_train_e2e import pyr, rcm, reg
+
+
+def test_padded_scan_equals_ragged_oracle(synth_dataset):
+    """synth test split is 96 examples; batch 40 -> ragged last batch of 16
+    in the oracle, one masked padded batch in the scan."""
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape,
+                   root=pyr(rcm([8, 8, 8], reg(10), rcm([8, 8], reg(10)))),
+                   k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=2)
+    B = 40
+    tau, k_cpt = 0.7, 1e-9
+
+    # Scan path.
+    ev = make_eval_split_fn(net, B)
+    x0s, ys, mask, count = synth_dataset.padded_split("ts", B)
+    sums = ev(params, state, x0s, ys, mask, tau, k_cpt)
+    means_scan = {k: np.asarray(v) / count for k, v in sums.items()}
+
+    # Ragged host oracle (mean_net_state semantics, desc.py:10-22).
+    ctx = Ctx(train=False, tau=tau, eps=1e-6, k_cpt=k_cpt)
+    acc = {}
+    n = 0
+    for x0b, yb in synth_dataset.test_set(B):
+        bsz = len(x0b)
+        recs, _ = net.forward(params, state, jnp.asarray(x0b),
+                              jnp.asarray(yb), ctx)
+        net.route_for_stats(recs, bsz, ctx)
+        stats = state_stats(net, recs, jnp.asarray(yb))
+        for k, v in stats.items():
+            acc[k] = acc.get(k, 0) + np.sum(np.asarray(v), 0)
+        n += bsz
+    assert n == count
+    means_oracle = {k: v / n for k, v in acc.items()}
+
+    assert set(means_scan) == set(means_oracle)
+    for k in means_scan:
+        np.testing.assert_allclose(means_scan[k], means_oracle[k],
+                                   rtol=1e-5, atol=1e-7, err_msg=k)

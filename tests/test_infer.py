@@ -89,6 +89,43 @@ def test_capacity_forces_exits(chain_net, synth_dataset):
                                atol=1e-4)
 
 
+def test_tree_full_capacity_matches_dense(synth_dataset):
+    """Tree topology (3-way fanout like the reference's dr_tree): routed
+    inference at capacity 1.0 equals dense hard routing."""
+    tail = rcm([8], reg(10))
+    root = pyr(rcm([8, 8, 8], reg(10),
+                   rcm([8, 8], reg(10), tail),
+                   rcm([8, 8], reg(10))))
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape, root=root, k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=5)
+    B = 64
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    y = jnp.asarray(synth_dataset.y_ts[:B])
+    infer = make_routed_infer_fn(net, B, capacities=1.0)
+    out = infer(params, state, x0)
+    exit_leaf, probs, moc = _dense_reference(net, params, state, x0, y)
+    np.testing.assert_array_equal(np.asarray(out["exit_idx"]), exit_leaf)
+    np.testing.assert_allclose(np.asarray(out["probs"]), probs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["ops"]), moc, rtol=1e-6)
+
+
+def test_tree_capacity_runs(synth_dataset):
+    root = pyr(rcm([8, 8, 8], reg(10),
+                   rcm([8, 8], reg(10)),
+                   rcm([8, 8], reg(10))))
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape, root=root, k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=6)
+    B = 32
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    infer = make_routed_infer_fn(net, B, capacities=0.25)
+    out = infer(params, state, x0)
+    assert (np.asarray(out["exit_idx"]) >= 0).all()
+    np.testing.assert_allclose(np.asarray(out["probs"]).sum(1), 1.0,
+                               atol=1e-4)
+
+
 def test_all_examples_assigned(chain_net, synth_dataset):
     net, params, state = chain_net
     B = 48
