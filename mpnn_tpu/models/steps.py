@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.augment import augmented_batch
+from ..data.augment import augmented_batch, augment_presampled
 from .net import Ctx
 from .optim import talr_scale_grads, momentum_init, momentum_update
 from .stats import state_stats
@@ -59,9 +59,14 @@ def make_train_step(net, batch_size, schedules, r_shift=4, mesh=None):
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None):
+def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None,
+                     presampled=False):
     """The (un-jitted) single train step; shared by make_train_step and the
-    scan-chained make_train_loop."""
+    scan-chained make_train_loop.
+
+    With presampled=True the x0_tr/y_tr arguments are the step's
+    already-gathered (B, ...) batch and only flip+shift augmentation runs
+    here (the loop gathers whole chunks at once -- see make_train_loop)."""
     mu = float(_hyper(net, "μ_lrn", 0.9))
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
     tau_default = float(_hyper(net, "τ", 1.0))
@@ -72,8 +77,11 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None):
     def step(params, state, vel, t, rng, x0_tr, y_tr, m_sym, k_cpt=None):
         key = jax.random.fold_in(rng, t)
         k_aug, k_drop, k_cpt_key = jax.random.split(key, 3)
-        xb, yb = augmented_batch(k_aug, x0_tr, y_tr, m_sym, batch_size,
-                                 r_shift)
+        if presampled:
+            xb, yb = augment_presampled(k_aug, x0_tr, y_tr, m_sym, r_shift)
+        else:
+            xb, yb = augmented_batch(k_aug, x0_tr, y_tr, m_sym, batch_size,
+                                     r_shift)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             bs = NamedSharding(mesh, P("data"))
@@ -113,7 +121,8 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None):
     return step
 
 
-def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None):
+def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
+                    sample_tile=256):
     """Scan-chained training: run n_steps train steps in ONE device call.
 
     loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps)
@@ -125,19 +134,61 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None):
     itself. This is also simply the TPU-native shape for a training run: the
     reference crosses host<->device every iteration
     (scripts/train-nets:141-143); here a t_log-sized span of training is one
-    program. n_steps is static (one compile per distinct chunk size)."""
-    step = _train_step_body(net, batch_size, schedules, r_shift, mesh)
+    program. n_steps is static (one compile per distinct chunk size).
+
+    Batch sampling is TILED: every `sample_tile` steps, ONE large gather
+    pulls tile*B uniform rows from the train split, and the inner scan
+    reads contiguous (B, ...) slices from it. Per-step 128-row gathers are
+    latency-bound (~175us measured, ~11x HBM-bandwidth time); one 32k-row
+    gather runs at bandwidth and amortizes to ~2us/step. The index
+    distribution (iid uniform with replacement) is unchanged
+    (reference scripts/lib/data.py:24-27)."""
+    step = _train_step_body(net, batch_size, schedules, r_shift, mesh,
+                            presampled=True)
+    _SAMPLE_STREAM = 7919  # fold_in tag separating sampling from aug keys
 
     def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
              k_cpt=None):
-        def body(carry, t):
+        def sample_span(t_first, n):
+            """One bandwidth-bound gather of n batches (n static)."""
+            k = jax.random.fold_in(jax.random.fold_in(rng, _SAMPLE_STREAM),
+                                   t_first)
+            idx = jax.random.randint(k, (n * batch_size,), 0,
+                                     x0_tr.shape[0])
+            xc = jnp.take(x0_tr, idx, axis=0).reshape(
+                (n, batch_size) + x0_tr.shape[1:])
+            yc = jnp.take(y_tr, idx, axis=0).reshape(
+                (n, batch_size) + y_tr.shape[1:])
+            return xc, yc
+
+        def body(carry, inp):
             params, state, vel = carry
+            t, xb, yb = inp
             params, state, vel, c = step(params, state, vel, t, rng,
-                                         x0_tr, y_tr, m_sym, k_cpt)
+                                         xb, yb, m_sym, k_cpt)
             return (params, state, vel), c
 
-        (params, state, vel), cs = jax.lax.scan(
-            body, (params, state, vel), t0 + jnp.arange(n_steps))
+        def run_span(carry, t_first, n):
+            xc, yc = sample_span(t_first, n)
+            ts = t_first + jnp.arange(n)
+            return jax.lax.scan(body, carry, (ts, xc, yc))
+
+        carry = (params, state, vel)
+        tile = min(sample_tile, n_steps)
+        n_full, rem = divmod(n_steps, tile)
+        cs_parts = []
+        if n_full:
+            def outer(carry, t_first):
+                return run_span(carry, t_first, tile)
+
+            carry, cs = jax.lax.scan(outer, carry,
+                                     t0 + tile * jnp.arange(n_full))
+            cs_parts.append(cs.reshape(n_full * tile))
+        if rem:
+            carry, cs = run_span(carry, t0 + n_full * tile, rem)
+            cs_parts.append(cs)
+        params, state, vel = carry
+        cs = cs_parts[0] if len(cs_parts) == 1 else jnp.concatenate(cs_parts)
         return params, state, vel, cs
 
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
