@@ -32,9 +32,11 @@ def main():
     jaxcache.enable()
     import jax.numpy as jnp
 
-    # bf16 compute for the MXU (fp32 master params + fp32 accumulation).
+    # bf16 activations end-to-end (fp32 master params, fp32 loss/stats
+    # islands) + analytic weight-L2 (gradient-exact; tests/test_analytic_l2).
     from mpnn_tpu.ops import config
     config.set_compute_dtype(jnp.bfloat16)
+    config.set_analytic_l2(True)
 
     from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size
     from mpnn_tpu.models import Schedules, init_training

@@ -157,7 +157,17 @@ class Net:
         return x
 
     def forward(self, params, state, x0, y, ctx):
-        """Run the whole tree densely; returns ({node: Rec}, new_state)."""
+        """Run the whole tree densely; returns ({node: Rec}, new_state).
+
+        Under a bf16 compute policy the input casts to bf16 HERE and
+        activations stay bf16 through the whole tree (the train step is
+        HBM-bandwidth-bound; see ops.layers.conv_same). Router logits are
+        recorded in fp32: every consumer (routing eps-mixture -- whose
+        floors sit at ~1e-7, SURVEY.md section 7 "hard parts" --, critic
+        regression, c_dec, x_rte stats) is precision-sensitive and tiny."""
+        from ..ops import config
+        if config.compute_dtype is not None:
+            x0 = x0.astype(config.compute_dtype)
         recs = {}
 
         def fwd(node, p, s, x):
@@ -172,7 +182,7 @@ class Net:
                 x_rte = self._router_input(x_out, ctx)
                 r_x, ns_rtr, r_aux = node.router.apply(
                     p["router"], s["router"], x_rte, y, ctx)
-                rec.router_x = r_x
+                rec.router_x = r_x.astype(jnp.float32)
                 rec.router_c_mod = r_aux.c_mod
                 ns["router"] = ns_rtr
             recs[node] = rec

@@ -14,6 +14,7 @@ Momentum matches tf.train.MomentumOptimizer:
 with the (possibly TALR-scaled) gradient entering the accumulator, exactly as
 apply_gradients on pre-scaled grads does."""
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,51 @@ def talr_scale_grads(net, grads, p_tr_by_uid, alpha_rtr=1.0, talr=True):
         return out
 
     return visit(net.root, grads)
+
+
+
+def tree_l2_decay(net, params, grads, p_tr_by_uid):
+    """Analytic weight-L2 (ops.config.analytic_l2): adds each decayed
+    weight's closed-form gradient coeff * 2*k_l2 * (w - w_eq) and returns
+    (new_grads, loss_value), where coeff is the node's mean p_tr (the
+    sg(p_tr) weighting of the c_mod loss term, scripts/lib/
+    net_types.py:171-173,277-279) or 1.0 for SR nets. Exactly equal to
+    differentiating the in-graph c_mod (tests/test_analytic_l2.py) while
+    removing ~one forward reduction per weight tensor."""
+    value = jnp.float32(0.0)
+
+    def layer_mod(layer, p, g, coeff):
+        nonlocal value
+        if layer.comps:
+            return {"comps": [layer_mod(c, pc, gc, coeff)
+                              for c, pc, gc in
+                              zip(layer.comps, p["comps"], g["comps"])]}
+        specs = layer.l2_specs()
+        out = dict(g)
+        for name, (k2, weq) in specs.items():
+            if k2 == 0.0:
+                continue
+            weqa = (jnp.float32(0.0) if weq is None or np.ndim(weq) == 0
+                    else jnp.asarray(weq, jnp.float32))
+            diff = p[name] - weqa
+            out[name] = g[name] + coeff * (2.0 * k2) * diff
+            value = value + coeff * k2 * jnp.sum(jnp.square(diff))
+        return out
+
+    def node_mod(node, p, g):
+        uid = str(node._uid)
+        coeff = (jnp.mean(p_tr_by_uid[uid]) if uid in p_tr_by_uid
+                 else jnp.float32(1.0))
+        return {
+            "layer": layer_mod(node, p["layer"], g["layer"], coeff),
+            "router": (layer_mod(node.router, p["router"], g["router"],
+                                 coeff)
+                       if node.router is not None else g["router"]),
+            "sinks": [node_mod(s, ps, gs) for s, ps, gs in
+                      zip(node.sinks, p["sinks"], g["sinks"])],
+        }
+
+    return node_mod(net.root, params, grads), value
 
 
 def momentum_init(params):

@@ -34,7 +34,7 @@ class DynRoutedMixin:
             k = jnp.asarray(ctx.k_cpt, jnp.float32)
             kcol = (self.hypers.α_cpt * k).reshape(-1, 1) \
                 * jnp.ones((xi.shape[0], 1), jnp.float32)
-            return jnp.concatenate([flat, kcol], axis=1)
+            return jnp.concatenate([flat, kcol.astype(flat.dtype)], axis=1)
 
         return [cat(xi) for xi in x] if isinstance(x, list) else cat(x)
 

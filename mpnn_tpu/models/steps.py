@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 from ..data.augment import augmented_batch, augment_presampled
 from .net import Ctx
-from .optim import talr_scale_grads, momentum_init, momentum_update
+from ..ops import config as ops_config
+from .optim import (talr_scale_grads, momentum_init, momentum_update,
+                    tree_l2_decay)
 from .stats import state_stats
 
 
@@ -59,22 +61,14 @@ def make_train_step(net, batch_size, schedules, r_shift=4, mesh=None):
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None,
-                     presampled=False):
-    """The (un-jitted) single train step; shared by make_train_step and the
-    scan-chained make_train_loop.
-
-    With presampled=True the x0_tr/y_tr arguments are the step's
-    already-gathered (B, ...) batch and only flip+shift augmentation runs
-    here (the loop gathers whole chunks at once -- see make_train_loop)."""
-    mu = float(_hyper(net, "μ_lrn", 0.9))
+def _step_pieces(net, batch_size, schedules, r_shift, mesh, presampled):
+    """Shared per-step plumbing for the pytree and flat step bodies:
+    (batch_ctx, loss_and_grads) closures."""
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
     tau_default = float(_hyper(net, "τ", 1.0))
     k_cpt_static = _hyper(net, "k_cpt", 0.0)
-    alpha_rtr = float(_hyper(net, "α_rtr", 1.0))
-    talr = bool(_hyper(net, "talr", True))
 
-    def step(params, state, vel, t, rng, x0_tr, y_tr, m_sym, k_cpt=None):
+    def batch_ctx(t, rng, x0_tr, y_tr, m_sym, k_cpt):
         key = jax.random.fold_in(rng, t)
         k_aug, k_drop, k_cpt_key = jax.random.split(key, 3)
         if presampled:
@@ -97,8 +91,10 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None,
             # Callers that pass k_cpt as a traced scalar instead share ONE
             # compiled program across a whole k_cpt sweep.
             k_cpt = k_cpt_static
-        ctx = Ctx(train=True, rng=k_drop, tau=tau, eps=eps_rte, k_cpt=k_cpt)
+        return xb, yb, Ctx(train=True, rng=k_drop, tau=tau, eps=eps_rte,
+                           k_cpt=k_cpt)
 
+    def loss_and_grads(params, state, xb, yb, ctx):
         def loss_fn(p):
             recs, new_state = net.forward(p, state, xb, yb, ctx)
             c_tot = net.loss(recs, batch_size, ctx)
@@ -107,9 +103,35 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None,
                 for l in net.layers if recs[l].p_tr is not None}
             return c_tot, (new_state, p_tr_by_uid)
 
-        (c_tot, (new_state, p_tr_by_uid)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
+    return batch_ctx, loss_and_grads
+
+
+def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None,
+                     presampled=False):
+    """The (un-jitted) single train step; shared by make_train_step and the
+    scan-chained make_train_loop's mesh path.
+
+    With presampled=True the x0_tr/y_tr arguments are the step's
+    already-gathered (B, ...) batch and only flip+shift augmentation runs
+    here (the loop gathers whole chunks at once -- see make_train_loop)."""
+    mu = float(_hyper(net, "μ_lrn", 0.9))
+    alpha_rtr = float(_hyper(net, "α_rtr", 1.0))
+    talr = bool(_hyper(net, "talr", True))
+    batch_ctx, loss_and_grads = _step_pieces(net, batch_size, schedules,
+                                             r_shift, mesh, presampled)
+
+    def step(params, state, vel, t, rng, x0_tr, y_tr, m_sym, k_cpt=None):
+        xb, yb, ctx = batch_ctx(t, rng, x0_tr, y_tr, m_sym, k_cpt)
+        (c_tot, (new_state, p_tr_by_uid)), grads = loss_and_grads(
+            params, state, xb, yb, ctx)
+
+        if ops_config.analytic_l2:
+            # Weight-L2 grad + value added here instead of ~1 reduction per
+            # weight tensor in the traced loss (ops.config.analytic_l2).
+            grads, c_l2 = tree_l2_decay(net, params, grads, p_tr_by_uid)
+            c_tot = c_tot + c_l2
         if net.uses_expectation_optimizer:
             grads = talr_scale_grads(net, grads, p_tr_by_uid,
                                      alpha_rtr=alpha_rtr, talr=talr)
@@ -142,7 +164,14 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
     latency-bound (~175us measured, ~11x HBM-bandwidth time); one 32k-row
     gather runs at bandwidth and amortizes to ~2us/step. The index
     distribution (iid uniform with replacement) is unchanged
-    (reference scripts/lib/data.py:24-27)."""
+    (reference scripts/lib/data.py:24-27).
+
+    Params stay a PYTREE through the scan: an experiment raveling them into
+    one flat (P,) buffer (to fuse the ~350 per-tensor TALR/momentum update
+    ops) measured 10x SLOWER -- every conv weight sliced out of a flat
+    buffer needs a re-layout copy each step, which costs far more than the
+    small update fusions save. Do not re-attempt without solving layouts.
+    """
     step = _train_step_body(net, batch_size, schedules, r_shift, mesh,
                             presampled=True)
     _SAMPLE_STREAM = 7919  # fold_in tag separating sampling from aug keys
@@ -150,23 +179,29 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
     def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
              k_cpt=None):
         def sample_span(t_first, n):
-            """One bandwidth-bound gather of n batches (n static)."""
+            """One bandwidth-bound gather of n batches (n static). Under a
+            bf16 policy the image chunk is stored bf16 (augmentation's
+            selection matmuls are exact in any dtype; the net casts at its
+            entry anyway)."""
+            from ..ops import config as ops_config
             k = jax.random.fold_in(jax.random.fold_in(rng, _SAMPLE_STREAM),
                                    t_first)
             idx = jax.random.randint(k, (n * batch_size,), 0,
                                      x0_tr.shape[0])
             xc = jnp.take(x0_tr, idx, axis=0).reshape(
                 (n, batch_size) + x0_tr.shape[1:])
+            if ops_config.compute_dtype is not None:
+                xc = xc.astype(ops_config.compute_dtype)
             yc = jnp.take(y_tr, idx, axis=0).reshape(
                 (n, batch_size) + y_tr.shape[1:])
             return xc, yc
 
         def body(carry, inp):
-            params, state, vel = carry
+            p, state, v = carry
             t, xb, yb = inp
-            params, state, vel, c = step(params, state, vel, t, rng,
-                                         xb, yb, m_sym, k_cpt)
-            return (params, state, vel), c
+            p, state, v, c = step(p, state, v, t, rng, xb, yb, m_sym,
+                                  k_cpt)
+            return (p, state, v), c
 
         def run_span(carry, t_first, n):
             xc, yc = sample_span(t_first, n)

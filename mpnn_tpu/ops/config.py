@@ -11,6 +11,23 @@ import jax.numpy as jnp
 
 compute_dtype = None  # None => float32 everywhere
 
+# Analytic L2: when True, LinTrans/Conv/MultiscaleConvMax SKIP building the
+# c_mod = k_l2*sum((w-w_eq)^2) reduction into the forward graph; the train
+# step instead adds the mathematically-identical gradient 2*k_l2*(w-w_eq)
+# (weighted by the node's mean p_tr exactly as the sg(p_tr)-weighted loss
+# term would) and reconstructs the loss VALUE with one fused (P,) reduction.
+# The ~64 per-tensor weight-L2 reductions were a top op-count cost of the
+# profiled b128 train step. Gradients and loss value are exactly equal
+# either way (tests/test_analytic_l2.py); default off to keep single-layer
+# unit semantics (Layer.apply returning its own c_mod).
+analytic_l2 = False
+
+
+def set_analytic_l2(flag):
+    global analytic_l2
+    analytic_l2 = flag
+
+
 # Use the Pallas fused MultiscaleConvMax kernel (mpnn_tpu.ops.kernels)
 # instead of the unfused XLA conv graph. Off by default; flip with
 # set_use_pallas(True) (the bench does) or per-run CLI flags.

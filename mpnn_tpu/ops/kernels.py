@@ -60,22 +60,24 @@ def mcm_xla(xs, whs, wvs, bs):
 
     def conv(x, w):
         if config.compute_dtype is not None:
-            out = lax.conv_general_dilated(
-                x.astype(config.compute_dtype),
-                w.astype(config.compute_dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return out.astype(jnp.float32)
+            x = x.astype(config.compute_dtype)
+            w = w.astype(config.compute_dtype)
         return lax.conv_general_dilated(
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     outs = [None] * L
-    outs[0] = bs[0] + conv(kept[0], whs[0])
+    out0 = conv(kept[0], whs[0])
+    outs[0] = out0 + bs[0].astype(out0.dtype)
     for j in range(1, L):
-        pooled = lax.reduce_window(outs[j - 1], -jnp.inf, lax.max,
-                                   (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
-        outs[j] = (bs[j] + conv(kept[j], whs[j])
-                   + conv(pooled, wvs[j - 1]))
+        o = outs[j - 1]
+        if o.shape[1] % 2 == 0 and o.shape[2] % 2 == 0:
+            pooled = _pool2_dense(o)  # reshape-max: cheap backward
+        else:
+            pooled = lax.reduce_window(o, -jnp.inf, lax.max,
+                                       (1, 2, 2, 1), (1, 2, 2, 1), "SAME")
+        oj = conv(kept[j], whs[j]) + conv(pooled, wvs[j - 1])
+        outs[j] = oj + bs[j].astype(oj.dtype)
     return outs
 
 

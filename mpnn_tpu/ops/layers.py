@@ -63,15 +63,16 @@ def conv_same(x, w):
     """Stride-1 SAME 2-D conv, NHWC/HWIO.
 
     Under a bf16 compute policy, inputs and weights are cast to bf16 and the
-    result cast back to fp32; the TPU MXU accumulates bf16 products in fp32
-    internally, so this is the standard mixed-precision recipe (casting
-    rather than preferred_element_type keeps the VJP dtypes consistent)."""
+    OUTPUT STAYS bf16 (the MXU still accumulates products in fp32
+    internally). Activations flowing bf16 end-to-end matters more than the
+    matmul dtype here: the b128 train step is HBM-bandwidth-bound on
+    activation traffic (conv FLOPs are ~26us of MXU time vs ~800us of fp32
+    tensor traffic measured on v5e), so halving activation bytes is the
+    first-order win. Loss/statistics paths cast back to fp32 at their
+    (tiny) consumers."""
     if config.compute_dtype is not None:
-        out = lax.conv_general_dilated(
-            x.astype(config.compute_dtype), w.astype(config.compute_dtype),
-            window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out.astype(jnp.float32)
+        x = x.astype(config.compute_dtype)
+        w = w.astype(config.compute_dtype)
     return lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -87,16 +88,32 @@ def max_pool_same(x, supp, stride):
 
 def _pool2(x):
     """2x2 stride-2 SAME max-pool (reference helper
-    scripts/lib/layer_types.py:109-110)."""
+    scripts/lib/layer_types.py:109-110).
+
+    For even spatial dims (every reference arch) this is a reshape + max:
+    identical values to reduce_window, but its BACKWARD lowers to cheap
+    compare/select fusions instead of select-and-scatter -- measured ~76
+    us/step of select-and-scatter in the b128 train step, ~10% of the whole
+    step, all from pool2 gradients."""
+    b, h, w, c = x.shape
+    if h % 2 == 0 and w % 2 == 0:
+        return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
     return max_pool_same(x, 2, 2)
 
 
 def _matmul(x, w):
+    """Dense product under the compute policy; output stays in compute
+    dtype (see conv_same)."""
     if config.compute_dtype is not None:
-        out = jnp.dot(x.astype(config.compute_dtype),
-                      w.astype(config.compute_dtype))
-        return out.astype(jnp.float32)
+        x = x.astype(config.compute_dtype)
+        w = w.astype(config.compute_dtype)
     return jnp.dot(x, w)
+
+
+def _bias_add(out, b):
+    """out + b without silently promoting bf16 activations to fp32
+    (fp32 master bias + bf16 matmul output would otherwise upcast)."""
+    return out + b.astype(out.dtype)
 
 
 ################################################################################
@@ -117,6 +134,12 @@ class Layer:
         # Fixed by build():
         self.out_shape = None   # per-example shape tuple, or list for pyramids
         self.n_ops = 0.0
+
+    def l2_specs(self):
+        """param name -> (k_l2, w_eq) for weights whose c_mod is the static
+        L2-vs-identity penalty; consumed by the analytic-L2 update path
+        (ops.config.analytic_l2). w_eq None means zero."""
+        return {}
 
     # -- static shape/op-count inference (one host pass, before any compile) --
     def build(self, x_shape):
@@ -170,9 +193,14 @@ class LinTrans(Layer):
     def apply(self, params, state, x, y, ctx):
         h = self.hypers
         x2 = x.reshape((x.shape[0], -1))
-        out = _matmul(x2, params["w"]) + params["b"]
+        out = _bias_add(_matmul(x2, params["w"]), params["b"])
+        if config.analytic_l2:
+            return out, state, Aux()
         c_mod = h.k_l2 * jnp.sum(jnp.square(params["w"] - self._w_eq))
         return out, state, Aux(c_mod=c_mod)
+
+    def l2_specs(self):
+        return {"w": (float(self.hypers.k_l2), self._w_eq)}
 
 
 class Conv(Layer):
@@ -207,9 +235,14 @@ class Conv(Layer):
 
     def apply(self, params, state, x, y, ctx):
         h = self.hypers
-        out = conv_same(x, params["w"]) + params["b"]
+        out = _bias_add(conv_same(x, params["w"]), params["b"])
+        if config.analytic_l2:
+            return out, state, Aux()
         c_mod = h.k_l2 * jnp.sum(jnp.square(params["w"] - self._w_eq))
         return out, state, Aux(c_mod=c_mod)
+
+    def l2_specs(self):
+        return {"w": (float(self.hypers.k_l2), self._w_eq)}
 
 
 class Rect(Layer):
@@ -220,10 +253,14 @@ class Rect(Layer):
 
 
 class Softmax(Layer):
-    """Softmax over the class axis (reference scripts/lib/layer_types.py:81-84)."""
+    """Softmax over the class axis (reference scripts/lib/layer_types.py:81-84).
+
+    Always computed (and returned) in fp32: class probabilities feed the
+    loss and every accuracy/routing statistic, and the (B, n_cls) tensor is
+    tiny, so precision is free here even under a bf16 activation policy."""
 
     def apply(self, params, state, x, y, ctx):
-        return jax.nn.softmax(x, axis=-1), state, Aux()
+        return jax.nn.softmax(x.astype(jnp.float32), axis=-1), state, Aux()
 
 
 class MaxPool(Layer):
@@ -326,9 +363,10 @@ class MultiscaleLLN(Layer):
         out = []
         for x_i, dens in zip(x, self._density):
             lum = lax.conv_general_dilated(
-                x_i, self._k, (1, 1), "SAME",
+                x_i, self._k.astype(x_i.dtype), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            out.append(x_i / (lum / dens + h.ϵ))
+            out.append(x_i / (lum / jnp.asarray(dens, x_i.dtype)
+                              + jnp.asarray(h.ϵ, x_i.dtype)))
         return out, state, Aux()
 
 
@@ -408,22 +446,36 @@ class MultiscaleConvMax(Layer):
             bs = [params[f"b_{j}"] for j in range(L)]
             out = fused_mcm(x, whs, wvs, bs, h.supp,
                             config.pallas_interpret)
+            if config.analytic_l2:
+                return out, state, Aux()
             c_mod = h.k_l2 * (
                 sum(jnp.sum(jnp.square(w)) for w in whs)
                 + sum(jnp.sum(jnp.square(w)) for w in wvs))
             return out, state, Aux(c_mod=c_mod)
         kept = x[len(x) - L:]
         out = [None] * L
-        out[0] = params["b_0"] + conv_same(kept[0], params["w_horz_0"])
+        out[0] = _bias_add(conv_same(kept[0], params["w_horz_0"]),
+                           params["b_0"])
         for j in range(1, L):
-            out[j] = (params[f"b_{j}"]
-                      + conv_same(kept[j], params[f"w_horz_{j}"])
-                      + conv_same(_pool2(out[j - 1]), params[f"w_vert_{j-1}"]))
+            out[j] = _bias_add(
+                conv_same(kept[j], params[f"w_horz_{j}"])
+                + conv_same(_pool2(out[j - 1]), params[f"w_vert_{j-1}"]),
+                params[f"b_{j}"])
+        if config.analytic_l2:
+            return out, state, Aux()
         c_mod = h.k_l2 * (
             sum(jnp.sum(jnp.square(params[f"w_horz_{j}"])) for j in range(L))
             + sum(jnp.sum(jnp.square(params[f"w_vert_{j}"]))
                   for j in range(L - 1)))
         return out, state, Aux(c_mod=c_mod)
+
+    def l2_specs(self):
+        h = self.hypers
+        L = self._L
+        specs = {f"w_horz_{j}": (float(h.k_l2), None) for j in range(L)}
+        specs.update({f"w_vert_{j}": (float(h.k_l2), None)
+                      for j in range(L - 1)})
+        return specs
 
 
 class MultiscaleRect(Layer):
@@ -500,8 +552,11 @@ class BatchNorm(Layer):
         h = self.hypers
         if ctx.train:
             axes = tuple(range(x.ndim - 1))
-            m = jnp.mean(x, axes)
-            v = jnp.mean(jnp.square(x), axes) - jnp.square(m)
+            # Batch moments accumulate in fp32 regardless of the activation
+            # dtype (bf16 mean over B*H*W values loses too many bits).
+            xf = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+            m = jnp.mean(xf, axes)
+            v = jnp.mean(jnp.square(xf), axes) - jnp.square(m)
             new_state = {
                 "m_avg": h.d * state["m_avg"] + (1 - h.d) * lax.stop_gradient(m),
                 "v_avg": h.d * state["v_avg"] + (1 - h.d) * lax.stop_gradient(v),
@@ -509,7 +564,15 @@ class BatchNorm(Layer):
         else:
             m, v = state["m_avg"], state["v_avg"]
             new_state = state
-        out = params["γ"] * (x - m) / jnp.sqrt(v + h.ϵ) + params["β"]
+        if x.dtype == jnp.float32:
+            out = params["γ"] * (x - m) / jnp.sqrt(v + h.ϵ) + params["β"]
+        else:
+            # bf16 activations: fold the normalization into one per-channel
+            # affine computed in fp32, applied in the activation dtype (a
+            # single fused multiply-add pass; avoids promoting x to fp32).
+            scale = params["γ"] / jnp.sqrt(v + h.ϵ)
+            shift = params["β"] - scale * m
+            out = x * scale.astype(x.dtype) + shift.astype(x.dtype)
         return out, new_state, Aux()
 
 
@@ -559,7 +622,8 @@ class SquaredError(Layer):
     (reference scripts/lib/layer_types.py:255-260)."""
 
     def apply(self, params, state, x, y, ctx):
-        c_err = jnp.sum(jnp.square(x - y), axis=1)
+        xf = x.astype(jnp.float32)
+        c_err = jnp.sum(jnp.square(xf - y), axis=1)
         return x, state, Aux(c_err=c_err, delta_cor=_delta_cor(x, y))
 
 
@@ -572,7 +636,7 @@ class CrossEntropyError(Layer):
     def apply(self, params, state, x, y, ctx):
         eps = self.hypers.ϵ
         n_cls = y.shape[1]
-        p_cls = eps / n_cls + (1 - eps) * x
+        p_cls = eps / n_cls + (1 - eps) * x.astype(jnp.float32)
         c_err = -jnp.sum(y * jnp.log(p_cls), axis=1)
         return x, state, Aux(c_err=c_err, delta_cor=_delta_cor(x, y))
 
@@ -588,7 +652,7 @@ class SuperclassCrossEntropyError(Layer):
         w_cls = jnp.asarray(self.hypers.w_cls, jnp.float32)
         y_sup = jnp.dot(y, w_cls)
         n_cls = y_sup.shape[1]
-        p_cls = eps / n_cls + (1 - eps) * x
+        p_cls = eps / n_cls + (1 - eps) * x.astype(jnp.float32)
         c_err = -jnp.sum(y_sup * jnp.log(p_cls), axis=1)
         return x, state, Aux(c_err=c_err, delta_cor=_delta_cor(x, y_sup))
 
@@ -601,8 +665,9 @@ class ActivityError(Layer):
 
     def apply(self, params, state, x, y, ctx):
         dims = tuple(range(1, x.ndim))
+        xf = x.astype(jnp.float32)
         return x, state, Aux(c_mod=self.hypers.α *
-                             jnp.sum(jnp.square(x), axis=dims))
+                             jnp.sum(jnp.square(xf), axis=dims))
 
 
 ################################################################################

@@ -44,6 +44,7 @@ def main():
     import jax.numpy as jnp
     from mpnn_tpu.ops import config
     config.set_compute_dtype(jnp.bfloat16)
+    config.set_analytic_l2(True)
 
     from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size
     from mpnn_tpu.models import Schedules, init_training
