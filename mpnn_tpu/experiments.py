@@ -175,9 +175,13 @@ def _sweep_sr(dataset, width=1):
 
 
 def _sweep(dataset, ctor, tau, **hypers):
+    """A k_cpt sweep: 8 same-architecture nets differing only in the
+    cost-of-compute price (reference scripts/train-nets:31-35). The
+    `sweep_k_cpts` marker lets the trainer vmap the whole sweep into one
+    program (mpnn_tpu.models.steps.make_sweep_train_loop)."""
     return Ns(dataset=dataset,
               nets=[ctor(k_cpt=k, **hypers) for k in k_cpts],
-              tau=tau)
+              tau=tau, sweep_k_cpts=list(k_cpts))
 
 
 def make_experiments():

@@ -229,6 +229,90 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
 
 
+def stack_trees(trees):
+    """Stack a list of identically-structured pytrees along a new leading
+    axis (the sweep axis of make_sweep_train_loop)."""
+    return jax.tree.map(lambda *a: jnp.stack(a), *trees)
+
+
+def unstack_tree(tree, i):
+    """Slice sweep member i back out of a stacked pytree."""
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
+                          sample_tile=256):
+    """Train a whole k_cpt SWEEP of same-architecture nets in one program.
+
+    loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym, n_steps,
+         k_cpts) -> (params_s, state_s, vel_s, losses[n_steps, n_nets])
+
+    The reference's AC/CR experiments train 8 nets that differ ONLY in the
+    k_cpt scalar (scripts/train-nets:31-35, arch_and_hypers.py:15), one
+    after another. Here the train step is vmapped over stacked
+    (params, state, vel, k_cpt): the b128 step is op-dispatch-bound on TPU
+    (~500 small kernels of ~1-2us; convs are ~3% of the step), so folding 8
+    nets into each kernel multiplies throughput by nearly the sweep width.
+
+    All sweep members see the SAME sampled+augmented batch stream (common
+    random numbers -- each net still trains on exact iid uniform samples;
+    only the cross-net correlation differs from serial training, which the
+    reference never relies on). Inits and k_cpt differ per member."""
+    step = _train_step_body(net, batch_size, schedules, r_shift, None,
+                            presampled=True)
+    # axes: params, state, vel mapped; t, rng, xb, yb, m_sym shared;
+    # k_cpt per-net.
+    vstep = jax.vmap(step, in_axes=(0, 0, 0, None, None, None, None, None,
+                                    0))
+    _SAMPLE_STREAM = 7919
+
+    def loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym,
+             n_steps, k_cpts):
+        def sample_span(t_first, n):
+            from ..ops import config as ops_config
+            k = jax.random.fold_in(jax.random.fold_in(rng, _SAMPLE_STREAM),
+                                   t_first)
+            idx = jax.random.randint(k, (n * batch_size,), 0,
+                                     x0_tr.shape[0])
+            xc = jnp.take(x0_tr, idx, axis=0).reshape(
+                (n, batch_size) + x0_tr.shape[1:])
+            if ops_config.compute_dtype is not None:
+                xc = xc.astype(ops_config.compute_dtype)
+            yc = jnp.take(y_tr, idx, axis=0).reshape(
+                (n, batch_size) + y_tr.shape[1:])
+            return xc, yc
+
+        def body(carry, inp):
+            p, s, v = carry
+            t, xb, yb = inp
+            p, s, v, c = vstep(p, s, v, t, rng, xb, yb, m_sym, k_cpts)
+            return (p, s, v), c
+
+        def run_span(carry, t_first, n):
+            xc, yc = sample_span(t_first, n)
+            ts = t_first + jnp.arange(n)
+            return jax.lax.scan(body, carry, (ts, xc, yc))
+
+        carry = (params_s, state_s, vel_s)
+        tile = min(sample_tile, n_steps)
+        n_full, rem = divmod(n_steps, tile)
+        cs_parts = []
+        if n_full:
+            carry, cs = jax.lax.scan(
+                lambda c, t_first: run_span(c, t_first, tile),
+                carry, t0 + tile * jnp.arange(n_full))
+            cs_parts.append(cs.reshape((n_full * tile,) + cs.shape[2:]))
+        if rem:
+            carry, cs = run_span(carry, t0 + n_full * tile, rem)
+            cs_parts.append(cs)
+        params_s, state_s, vel_s = carry
+        cs = (cs_parts[0] if len(cs_parts) == 1
+              else jnp.concatenate(cs_parts))
+        return params_s, state_s, vel_s, cs
+
+    return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
+
+
 def make_eval_split_fn(net, batch_size, mesh=None):
     """Build a jitted full-split evaluator.
 

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from . import experiments as cfg
 from .data import Dataset
 from .models.steps import Schedules, make_train_step, make_train_loop, \
-    make_eval_split_fn, init_training
+    make_eval_split_fn, init_training, make_sweep_train_loop, stack_trees, \
+    unstack_tree
 from .utils.desc import net_desc, render_net_desc
 from .utils.serdes import write_net
 
@@ -141,9 +142,14 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
 def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
                      net_indices=None, data_root=".", out_root="nets",
                      seed=0, verbose=True, resume=False, profile_dir=None,
-                     mesh=None):
+                     mesh=None, vmap_sweep=False):
     """Train every net of a registry experiment
-    (reference scripts/train-nets:159-164)."""
+    (reference scripts/train-nets:159-164).
+
+    With vmap_sweep=True and a k_cpt-sweep experiment (same architecture
+    per net), all nets train SIMULTANEOUSLY in one vmapped program --
+    near-sweep-width throughput on the op-dispatch-bound b128 step -- while
+    writing the same per-net stats/log/checkpoint files as serial runs."""
     expt = cfg.make_experiments()[expt_name]
     dataset = Dataset(os.path.join(data_root, expt.dataset))
     n_iter = n_iter or cfg.n_iter
@@ -152,6 +158,12 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
     out_dir = os.path.join(out_root, expt_name)
     indices = net_indices if net_indices is not None \
         else range(len(expt.nets))
+
+    if vmap_sweep and getattr(expt, "sweep_k_cpts", None) is not None \
+            and net_indices is None:
+        return _train_sweep(expt, expt_name, dataset, n_iter=n_iter,
+                            t_log=t_log, batch_size=batch_size,
+                            out_dir=out_dir, seed=seed, verbose=verbose)
 
     for i in indices:
         net = expt.nets[i](dataset.x0_shape, dataset.y_shape)
@@ -164,6 +176,67 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
         os.makedirs(out_dir, exist_ok=True)
         write_net(os.path.join(out_dir, "%.4i.npy" % i), net, params, state,
                   extra={"vel": vel, "t": n_iter})
+
+
+def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
+                 out_dir, seed, verbose):
+    """Joint vmapped training of a k_cpt sweep; same on-disk outputs as the
+    serial path (stats snapshots + latest, rendered logs, checkpoints)."""
+    k_cpts = np.asarray(expt.sweep_k_cpts, np.float32)
+    n_nets = len(k_cpts)
+    net = expt.nets[0](dataset.x0_shape, dataset.y_shape)  # shared arch
+    schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau)
+    loop = make_sweep_train_loop(net, batch_size, schedules)
+    eval_split = make_eval_split_fn(net, batch_size)
+    x0_tr, y_tr, m_sym = dataset.train_arrays
+    rng = jax.random.PRNGKey(seed + 1)
+
+    members = [init_training(net, seed + i) for i in range(n_nets)]
+    params_s = stack_trees([m[0] for m in members])
+    state_s = stack_trees([m[1] for m in members])
+    vel_s = stack_trees([m[2] for m in members])
+    k_arr = jnp.asarray(k_cpts)
+
+    os.makedirs(out_dir, exist_ok=True)
+    t0_wall = time.time()
+    t = 0
+    while t < n_iter:
+        n_chunk = min(t_log - (t % t_log), n_iter - t)
+        params_s, state_s, vel_s, cs = loop(params_s, state_s, vel_s, t,
+                                            rng, x0_tr, y_tr, m_sym,
+                                            n_chunk, k_arr)
+        t += n_chunk
+        if verbose:
+            print("  --- Iteration %i (sweep of %i) ---\r" % (t, n_nets),
+                  end="", flush=True)
+        if t % t_log == 0:
+            tau_t = _tau_at(expt.tau, t - 1, net)
+            for i in range(n_nets):
+                params = unstack_tree(params_s, i)
+                state = unstack_tree(state_s, i)
+                desc = net_desc(net, dataset, params, state,
+                                batch_size=batch_size, tau=tau_t,
+                                k_cpt=float(k_cpts[i]),
+                                eval_split=eval_split)
+                text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (
+                    out_dir, i, t))
+                snap_dir = os.path.join(out_dir, "%.4i-stats" % i)
+                os.makedirs(snap_dir, exist_ok=True)
+                np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
+                np.save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
+                with open(os.path.join(out_dir, "%.4i-log.txt" % i),
+                          "a+") as f:
+                    f.write(text + "\n")
+                write_net(os.path.join(out_dir, "%.4i.npy" % i), net,
+                          params, state,
+                          extra={"vel": unstack_tree(vel_s, i), "t": t})
+                if verbose:
+                    print(text)
+    if verbose:
+        dt = time.time() - t0_wall
+        print("\n  [sweep of %i nets x %i iters in %.1fs — %.0f img/s "
+              "aggregate]" % (n_nets, n_iter, dt,
+                              n_nets * n_iter * batch_size / max(dt, 1e-9)))
 
 
 def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,

@@ -65,6 +65,36 @@ def main():
         time_loop(tag, loop, params, state, vel,
                   (rng, x0_tr, y_tr, m_sym), chunk)
 
+    # Whole 8-net k_cpt sweep vmapped into one program.
+    from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
+    from mpnn_tpu.experiments import k_cpts
+    import jax.numpy as jnp
+    members = [init_training(net, seed=i) for i in range(len(k_cpts))]
+    params_s = stack_trees([m[0] for m in members])
+    state_s = stack_trees([m[1] for m in members])
+    vel_s = stack_trees([m[2] for m in members])
+    k_arr = jnp.asarray(list(k_cpts), jnp.float32)
+    sloop = make_sweep_train_loop(net, batch_size, sched)
+
+    def sweep_loop(p, s, v, t0, rng_, x0, y, m, n):
+        return sloop(p, s, v, t0, rng_, x0, y, m, n, k_arr)
+
+    p, s, v = params_s, state_s, vel_s
+    p, s, v, cs = sweep_loop(p, s, v, 0, rng, x0_tr, y_tr, m_sym, chunk)
+    np.asarray(cs)
+    t0 = time.perf_counter()
+    t = chunk
+    for _ in range(4):
+        p, s, v, cs = sweep_loop(p, s, v, t, rng, x0_tr, y_tr, m_sym, chunk)
+        t += chunk
+    np.asarray(cs)
+    dt = time.perf_counter() - t0
+    us = dt / (4 * chunk) * 1e6
+    print(json.dumps({
+        "config": "sweep8", "us_per_step": round(us, 1),
+        "img_per_s_aggregate": round(len(k_cpts) * 128 * 1e6 / us)}),
+        flush=True)
+
 
 if __name__ == "__main__":
     main()
