@@ -29,16 +29,39 @@ def capture(outdir):
     from mpnn_tpu.models.steps import make_train_loop
     from mpnn_tpu.data import Dataset, synth
 
+    config.set_analytic_l2(True)
+
     ds = Dataset(synth.make_synthetic(n_tr=50000, n_ts=512, h=32, w=32,
                                       n_cls=10, seed=0))
     net = ac_chain(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
     sched = Schedules(lr=λ_lrn, tau=τ_ds)
-    loop = make_train_loop(net, batch_size, sched)
-    params, state, vel = init_training(net, seed=0)
     x0_tr, y_tr, m_sym = ds.train_arrays
     rng = jax.random.PRNGKey(0)
-
     chunk = 250
+
+    if "--sweep" in sys.argv:
+        from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
+        from mpnn_tpu.experiments import k_cpts
+        members = [init_training(net, seed=i) for i in range(len(k_cpts))]
+        p = stack_trees([m[0] for m in members])
+        s = stack_trees([m[1] for m in members])
+        v = stack_trees([m[2] for m in members])
+        k_arr = jnp.asarray(list(k_cpts), jnp.float32)
+        sloop = make_sweep_train_loop(net, batch_size, sched)
+        p, s, v, cs = sloop(p, s, v, 0, rng, x0_tr, y_tr, m_sym, chunk,
+                            k_arr)
+        np.asarray(cs)
+        jax.profiler.start_trace(outdir)
+        p, s, v, cs = sloop(p, s, v, chunk, rng, x0_tr, y_tr, m_sym,
+                            chunk, k_arr)
+        np.asarray(cs)
+        jax.profiler.stop_trace()
+        print("sweep trace written to", outdir, flush=True)
+        return
+
+    loop = make_train_loop(net, batch_size, sched)
+    params, state, vel = init_training(net, seed=0)
+
     params, state, vel, cs = loop(params, state, vel, 0, rng,
                                   x0_tr, y_tr, m_sym, chunk)
     np.asarray(cs)  # warmup/compile sync (axon: no block_until_ready)
