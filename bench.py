@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Benchmark: actor-net training throughput on the real chip.
+"""Benchmark: actor-net sweep training throughput on the real chip.
 
-Measures the BASELINE.json headline metric -- CIFAR-10-shaped actor-net
-training images/sec/chip -- on the flagship 8-deep dynamically-routed chain
-(reference scripts/arch_and_hypers.py:88-97) with the reference's batch size
-128, full augmentation, routing, TALR and momentum in one jitted step.
+Measures the BASELINE.json headline workload -- the reference's train-nets
+AC experiment, which trains EIGHT 8-deep dynamically-routed chains sweeping
+k_cpt (reference scripts/train-nets:31-35, scripts/arch_and_hypers.py:15) --
+as the framework actually runs it: the whole sweep vmapped into one
+compiled program (mpnn_tpu.models.steps.make_sweep_train_loop), batch 128
+per net, full augmentation, routing, TALR and momentum per step.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
@@ -12,9 +14,14 @@ vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 The driver's north star is >=20x the TF1 reference's images/sec/chip. We
 take 1250 img/s as the reference estimate (batch 128 at ~10 steps/s for a
 TF1 feed_dict + per-image-Python-augmentation pipeline on a contemporary
-GPU -- the pipeline, not the GPU, was the bottleneck; SURVEY.md section 3.1)
-and report value / (20 * 1250), so vs_baseline >= 1.0 means the 20x
-north-star target is met.
+GPU -- the pipeline, not the GPU, was the bottleneck; SURVEY.md section
+3.1; training the sweep serially keeps the same instantaneous rate) and
+report value / (20 * 1250), so vs_baseline >= 1.0 means the 20x north-star
+target is met.
+
+Measured v5e single-chip reference points: single-net loop 182k img/s
+(0.70 ms/step); vmapped 8-net sweep 319k img/s aggregate (3.2 ms/step,
+HBM-bandwidth-bound; docs/results-r1.md).
 """
 
 import json
@@ -38,20 +45,25 @@ def main():
     config.set_compute_dtype(jnp.bfloat16)
     config.set_analytic_l2(True)
 
-    from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size
+    from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size, \
+        k_cpts
     from mpnn_tpu.models import Schedules, init_training
-    from mpnn_tpu.models.steps import make_train_loop
+    from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
     from mpnn_tpu.data import Dataset, synth
 
     # CIFAR-10-shaped synthetic data (50k train images, 32x32x3, 10 classes).
     ds = Dataset(synth.make_synthetic(n_tr=50000, n_ts=512, h=32, w=32,
                                       n_cls=10, seed=0))
-    net = ac_chain(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
-    params, state, vel = init_training(net, seed=0)
+    net = ac_chain(k_cpt=0.0)(ds.x0_shape, ds.y_shape)
+    n_nets = len(k_cpts)
+    members = [init_training(net, seed=i) for i in range(n_nets)]
+    params_s = stack_trees([m[0] for m in members])
+    state_s = stack_trees([m[1] for m in members])
+    vel_s = stack_trees([m[2] for m in members])
+    k_arr = jnp.asarray(list(k_cpts), jnp.float32)
+
     sched = Schedules(lr=λ_lrn, tau=τ_ds)
-    # The real training path: t_log-style scanned chunks, one device call
-    # per chunk (mpnn_tpu.models.steps.make_train_loop).
-    loop = make_train_loop(net, batch_size, sched)
+    loop = make_sweep_train_loop(net, batch_size, sched)
     x0_tr, y_tr, m_sym = ds.train_arrays
     rng = jax.random.PRNGKey(0)
 
@@ -59,27 +71,28 @@ def main():
     # Warmup: compile + settle. NOTE: sync via host materialization --
     # block_until_ready has been observed returning early on tunneled
     # (axon) backends, which silently corrupts timings.
-    params, state, vel, cs = loop(params, state, vel, 0, rng,
-                                  x0_tr, y_tr, m_sym, chunk)
+    params_s, state_s, vel_s, cs = loop(params_s, state_s, vel_s, 0, rng,
+                                        x0_tr, y_tr, m_sym, chunk, k_arr)
     np.asarray(cs)
 
     n_chunks = 4
     t0 = time.perf_counter()
     t = chunk
     for _ in range(n_chunks):
-        params, state, vel, cs = loop(params, state, vel, t, rng,
-                                      x0_tr, y_tr, m_sym, chunk)
+        params_s, state_s, vel_s, cs = loop(params_s, state_s, vel_s, t,
+                                            rng, x0_tr, y_tr, m_sym, chunk,
+                                            k_arr)
         t += chunk
     # Chunk N+1 depends on chunk N's params, so materializing the last
     # chunk's losses bounds all device work.
     cs_host = np.asarray(cs)
     dt = time.perf_counter() - t0
 
-    c = float(cs_host[-1])
-    assert np.isfinite(c), f"non-finite loss {c}"
-    value = n_chunks * chunk * batch_size / dt
+    assert np.isfinite(cs_host[-1]).all(), f"non-finite loss {cs_host[-1]}"
+    value = n_chunks * chunk * batch_size * n_nets / dt
     print(json.dumps({
-        "metric": "cifar10-ac train throughput (8-deep actor chain, b128)",
+        "metric": "cifar10-ac k_cpt-sweep train throughput "
+                  "(8 nets x 8-deep actor chain, b128/net, vmapped)",
         "value": round(value, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / (NORTH_STAR_MULT * REF_IMAGES_PER_SEC),

@@ -60,7 +60,9 @@ def main():
                 # keep shapes fixed: project back to input shape via sum
                 return c + 1e-6 * y.astype(c.dtype), ()
             c, _ = lax.scan(body, x, None, length=K)
-            return c
+            # Scalar output: syncing a 16MB tensor through the tunnel costs
+            # ~seconds and swamps the measurement.
+            return jnp.sum(c.astype(jnp.float32))
         return run
 
     # fwd-only chains
@@ -77,7 +79,7 @@ def main():
                 g = jax.grad(lossf, argnums=(0, 1))(c, w)
                 return c + 1e-6 * g[0].astype(c.dtype), ()
             c, _ = lax.scan(body, x, None, length=K)
-            return c
+            return jnp.sum(c.astype(jnp.float32))
         return run
 
     bench("fb_vmap_conv", fb(lambda x, w: jax.vmap(conv)(x, w)), xs, wv)
