@@ -115,3 +115,27 @@ def test_synthetic_archives(tmp_path):
     assert "hybrid.npz" in names
     ds = Dataset(str(tmp_path / "hybrid.npz"), device_put=False)
     np.testing.assert_array_equal(ds.m_sym, [0] * 5 + [1] * 5)
+
+
+def test_synthetic_tiered_difficulty_split():
+    """Tiered stand-in: easy half separable by nearest-centroid, hard half
+    not (accuracy must depend on depth for reference-like acc-eff curves)."""
+    import numpy as np
+    from mpnn_tpu.data.synth import make_synthetic_tiered
+
+    a = make_synthetic_tiered(n_tr=3000, n_ts=600, n_cls=10, seed=3)
+    assert a["x0_tr"].shape == (3000, 32, 32, 3)
+    assert a["m_sym"].tolist() == [0] * 5 + [1] * 5
+    xtr, ytr = a["x0_tr"], a["y_tr"].argmax(1)
+    xts, yts = a["x0_ts"], a["y_ts"].argmax(1)
+    cent = np.stack([xtr[ytr == k].mean(0).ravel() for k in range(10)])
+    d = ((xts.reshape(len(xts), -1)[:, None] - cent[None]) ** 2).sum(-1)
+    pred = d.argmin(1)
+    easy = yts < 5
+    acc_easy = (pred[easy] == yts[easy]).mean()
+    acc_hard = (pred[~easy] == yts[~easy]).mean()
+    assert acc_easy > 0.95
+    assert acc_hard < 0.7
+    # values in [0,1], fp32 
+    assert a["x0_tr"].dtype == np.float32
+    assert a["x0_tr"].min() >= 0 and a["x0_tr"].max() <= 1

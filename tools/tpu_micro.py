@@ -106,5 +106,49 @@ def main():
     bench("fwd_bn_packed_layout", loop(bn_p), xp, wg)
 
 
+
+
+def pool_variants():
+    """fwd+bwd cost of 2x2 pool formulations at sweep scale."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from mpnn_tpu.utils import jaxcache
+    jaxcache.enable()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 128, 32, 32, 16), jnp.bfloat16)
+
+    def p6(x):  # current: one 6-D reshape-max
+        n, b, h, w, c = x.shape
+        return jnp.max(x.reshape(n, b, h // 2, 2, w // 2, 2, c),
+                       axis=(3, 5))
+
+    def p1d(x):  # two 1-D maxes
+        n, b, h, w, c = x.shape
+        x = jnp.max(x.reshape(n, b, h, w // 2, 2, c), axis=4)
+        return jnp.max(x.reshape(n, b, h // 2, 2, w // 2, c), axis=3)
+
+    def rw(x):  # reduce_window (select-and-scatter backward)
+        return lax.reduce_window(x, -jnp.inf, lax.max, (1, 1, 2, 2, 1),
+                                 (1, 1, 2, 2, 1), "SAME")
+
+    def fb(f):
+        def run(x):
+            def body(c, _):
+                g = jax.grad(lambda xx: jnp.sum(
+                    f(xx).astype(jnp.float32) ** 2))(c)
+                return c + 1e-6 * g.astype(c.dtype), ()
+            c, _ = jax.lax.scan(body, x, None, length=K)
+            return jnp.sum(c.astype(jnp.float32))
+        return run
+
+    bench("fb_pool_reshape6d", fb(p6), x)
+    bench("fb_pool_two1d", fb(p1d), x)
+    bench("fb_pool_reduce_window", fb(rw), x)
+
+
 if __name__ == "__main__":
-    main()
+    if "--pool" in sys.argv:
+        pool_variants()
+    else:
+        main()
