@@ -313,14 +313,10 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
 
 
-def make_eval_split_fn(net, batch_size, mesh=None):
-    """Build a jitted full-split evaluator.
-
-    eval_split(params, state, x0s, ys, masks, tau, k_cpt) -> dict of
-    per-split SUMS of the per-example stats (divide by the true example
-    count on the host to get the reference's dataset means,
-    scripts/lib/desc.py:10-22). x0s/ys/masks are (n_batches, B, ...) padded
-    stacks from Dataset.padded_split."""
+def _eval_batch_fn(net, batch_size, mesh=None):
+    """Masked per-batch stat-sum function shared by the serial and sweep
+    evaluators (the reference's per-batch Session.run of state_tensors,
+    scripts/lib/desc.py:10-22)."""
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
 
     def eval_batch(params, state, x0b, yb, maskb, tau, k_cpt):
@@ -339,6 +335,19 @@ def make_eval_split_fn(net, batch_size, mesh=None):
             return jnp.sum(v * m, axis=0)
         return {k: msum(v) for k, v in stats.items()}
 
+    return eval_batch
+
+
+def make_eval_split_fn(net, batch_size, mesh=None):
+    """Build a jitted full-split evaluator.
+
+    eval_split(params, state, x0s, ys, masks, tau, k_cpt) -> dict of
+    per-split SUMS of the per-example stats (divide by the true example
+    count on the host to get the reference's dataset means,
+    scripts/lib/desc.py:10-22). x0s/ys/masks are (n_batches, B, ...) padded
+    stacks from Dataset.padded_split."""
+    eval_batch = _eval_batch_fn(net, batch_size, mesh)
+
     def eval_split(params, state, x0s, ys, masks, tau, k_cpt):
         def body(carry, inp):
             x0b, yb, mb = inp
@@ -347,6 +356,29 @@ def make_eval_split_fn(net, batch_size, mesh=None):
 
         shapes = jax.eval_shape(eval_batch, params, state, x0s[0], ys[0],
                                 masks[0], tau, k_cpt)
+        init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        sums, _ = jax.lax.scan(body, init, (x0s, ys, masks))
+        return sums
+
+    return jax.jit(eval_split)
+
+
+def make_sweep_eval_split_fn(net, batch_size):
+    """Vmapped full-split evaluator for a k_cpt sweep: one scan over the
+    split evaluates ALL sweep members per batch (the serial path pays the
+    whole-split sweep once per net). Returned sums carry a leading
+    (n_nets,) axis."""
+    eval_batch = _eval_batch_fn(net, batch_size)
+    veval = jax.vmap(eval_batch, in_axes=(0, 0, None, None, None, None, 0))
+
+    def eval_split(params_s, state_s, x0s, ys, masks, tau, k_cpts):
+        def body(carry, inp):
+            x0b, yb, mb = inp
+            sums = veval(params_s, state_s, x0b, yb, mb, tau, k_cpts)
+            return jax.tree.map(jnp.add, carry, sums), None
+
+        shapes = jax.eval_shape(veval, params_s, state_s, x0s[0], ys[0],
+                                masks[0], tau, k_cpts)
         init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
         sums, _ = jax.lax.scan(body, init, (x0s, ys, masks))
         return sums

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from . import experiments as cfg
 from .data import Dataset
 from .models.steps import Schedules, make_train_step, make_train_loop, \
-    make_eval_split_fn, init_training, make_sweep_train_loop, stack_trees, \
-    unstack_tree
-from .utils.desc import net_desc, render_net_desc
+    make_eval_split_fn, init_training, make_sweep_train_loop, \
+    make_sweep_eval_split_fn, stack_trees, unstack_tree
+from .utils.desc import net_desc, render_net_desc, sweep_net_descs
 from .utils.serdes import write_net
 
 __all__ = ["train_one_net", "train_experiment", "train_adaptive_experiment"]
@@ -187,7 +187,7 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
     net = expt.nets[0](dataset.x0_shape, dataset.y_shape)  # shared arch
     schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau)
     loop = make_sweep_train_loop(net, batch_size, schedules)
-    eval_split = make_eval_split_fn(net, batch_size)
+    eval_split = make_sweep_eval_split_fn(net, batch_size)
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
 
@@ -211,13 +211,13 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
                   end="", flush=True)
         if t % t_log == 0:
             tau_t = _tau_at(expt.tau, t - 1, net)
+            descs = sweep_net_descs(net, dataset, params_s, state_s,
+                                    k_cpts, batch_size=batch_size,
+                                    tau=tau_t, eval_split=eval_split)
             for i in range(n_nets):
                 params = unstack_tree(params_s, i)
                 state = unstack_tree(state_s, i)
-                desc = net_desc(net, dataset, params, state,
-                                batch_size=batch_size, tau=tau_t,
-                                k_cpt=float(k_cpts[i]),
-                                eval_split=eval_split)
+                desc = descs[i]
                 text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (
                     out_dir, i, t))
                 snap_dir = os.path.join(out_dir, "%.4i-stats" % i)

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..models.steps import make_eval_split_fn
 
-__all__ = ["net_desc", "render_net_desc", "mean_split_stats"]
+__all__ = ["net_desc", "render_net_desc", "mean_split_stats",
+           "sweep_net_descs"]
 
 
 def mean_split_stats(net, eval_split, params, state, dataset, split,
@@ -71,6 +72,39 @@ def net_desc(net, dataset, params, state, batch_size=128, tau=None,
         "stats_ts": net_keys(stats_ts),
         "root": _layer_desc(net.root, stats_tr, stats_ts),
     }
+
+
+def sweep_net_descs(net, dataset, params_s, state_s, k_cpts, *,
+                    batch_size=128, tau=None, eval_split=None):
+    """Per-net descriptors for a whole k_cpt sweep in ONE vmapped pass per
+    split (mpnn_tpu.models.steps.make_sweep_eval_split_fn). Each returned
+    dict is schema-identical to net_desc's."""
+    import jax.numpy as jnp
+    from ..models.steps import make_sweep_eval_split_fn
+    if eval_split is None:
+        eval_split = make_sweep_eval_split_fn(net, batch_size)
+    if tau is None:
+        tau = float(getattr(net.hypers, "τ", 1.0))
+    k_arr = jnp.asarray(list(k_cpts), jnp.float32)
+    split_means = {}
+    for split in ("tr", "ts"):
+        x0s, ys, masks, count = dataset.padded_split(split, batch_size)
+        sums = eval_split(params_s, state_s, x0s, ys, masks, tau, k_arr)
+        split_means[split] = {k: np.asarray(v) / count
+                              for k, v in sums.items()}
+    net_keys = lambda d: {k[len("net/"):]: v for k, v in d.items()
+                          if k.startswith("net/")}
+    descs = []
+    for i in range(len(k_cpts)):
+        stats_tr = {k: v[i].tolist() for k, v in split_means["tr"].items()}
+        stats_ts = {k: v[i].tolist() for k, v in split_means["ts"].items()}
+        descs.append({
+            "type": type(net).__name__,
+            "stats_tr": net_keys(stats_tr),
+            "stats_ts": net_keys(stats_ts),
+            "root": _layer_desc(net.root, stats_tr, stats_ts),
+        })
+    return descs
 
 
 ################################################################################

@@ -49,3 +49,38 @@ def test_padded_scan_equals_ragged_oracle(synth_dataset):
     for k in means_scan:
         np.testing.assert_allclose(means_scan[k], means_oracle[k],
                                    rtol=1e-5, atol=1e-7, err_msg=k)
+
+
+def test_sweep_eval_matches_serial_eval(synth_dataset):
+    """make_sweep_eval_split_fn's per-member sums equal the serial
+    evaluator's, member by member."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mpnn_tpu.models import ActorNet, init_training
+    from mpnn_tpu.models.steps import (make_eval_split_fn,
+                                       make_sweep_eval_split_fn,
+                                       stack_trees, unstack_tree)
+    from .test_train_e2e import pyr, rcm, reg
+
+    root = pyr(rcm([8, 8, 8], reg(10), rcm([8, 8], reg(10))))
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape, root=root)
+    members = [init_training(net, seed=i) for i in range(3)]
+    params_s = stack_trees([m[0] for m in members])
+    state_s = stack_trees([m[1] for m in members])
+    k_cpts = [0.0, 1e-9, 6.4e-8]
+
+    x0s, ys, masks, n = synth_dataset.padded_split("ts", 32)
+    sweep_ev = make_sweep_eval_split_fn(net, 32)
+    sums_s = sweep_ev(params_s, state_s, x0s, ys, masks, 1.0,
+                      jnp.asarray(k_cpts, jnp.float32))
+    serial_ev = make_eval_split_fn(net, 32)
+    for i in range(3):
+        sums_i = serial_ev(members[i][0], members[i][1], x0s, ys, masks,
+                           1.0, k_cpts[i])
+        for k in sums_i:
+            np.testing.assert_allclose(np.asarray(sums_s[k])[i],
+                                       np.asarray(sums_i[k]),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
