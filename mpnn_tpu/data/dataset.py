@@ -1,0 +1,122 @@
+"""Dataset container with the reference's on-disk `.npz` schema.
+
+Archive schema (reference scripts/lib/data.py:53-62 and scripts/prep-data):
+a single pickled dict stored as `arr_0` with keys
+`{x0_tr, x0_ts, y_tr, y_ts, m_sym}` -- float images NHWC in [0, 1], one-hot
+labels, and a per-class horizontal-flip-symmetry mask.
+
+Unlike the reference (host NumPy arrays fed per step through feed_dict,
+scripts/train-nets:141-143), this Dataset stages whole splits into device HBM
+once; batch sampling and augmentation then happen inside the jitted train
+step (see mpnn_tpu.data.augment). Full-split evaluation uses padded
+fixed-shape batches with a validity mask so eval compiles to a single
+`lax.scan` (the reference iterates ragged host batches,
+scripts/lib/data.py:42-47).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _ceil_to(n, m):
+    return -(-n // m) * m
+
+
+class Dataset:
+    """Loads the reference `.npz` schema and stages splits on device.
+
+    `Dataset(path)` matches reference scripts/lib/data.py:54-62; pass
+    `device_put=False` to keep arrays on host (used by tooling that never
+    runs compute, e.g. prep/inspection).
+    """
+
+    def __init__(self, path_or_dict, dtype=jnp.float32, device_put=True):
+        if isinstance(path_or_dict, (str,)):
+            archive = np.load(path_or_dict, allow_pickle=True)["arr_0"][()]
+        else:
+            archive = path_or_dict
+        self.x0_tr = np.asarray(archive["x0_tr"], np.float32)
+        self.x0_ts = np.asarray(archive["x0_ts"], np.float32)
+        self.y_tr = np.asarray(archive["y_tr"], np.float32)
+        self.y_ts = np.asarray(archive["y_ts"], np.float32)
+        self.m_sym = np.asarray(archive["m_sym"], np.float32)
+        self._dtype = dtype
+        self._device_arrays = {}
+        if device_put:
+            self.stage()
+
+    @property
+    def x0_shape(self):
+        return self.x0_tr.shape[1:]
+
+    @property
+    def y_shape(self):
+        return self.y_tr.shape[1:]
+
+    def stage(self, sharding=None):
+        """Move both splits into device memory (optionally with a sharding).
+
+        The hybrid train split is ~683 MB fp32 (SURVEY.md section 7 item 1) --
+        it fits v5e HBM whole, eliminating the reference's per-step
+        host->device feed.
+        """
+        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
+            else jax.device_put
+        self._device_arrays = {
+            "x0_tr": put(jnp.asarray(self.x0_tr, self._dtype)),
+            "y_tr": put(jnp.asarray(self.y_tr, self._dtype)),
+            "m_sym": put(jnp.asarray(self.m_sym, self._dtype)),
+        }
+        return self
+
+    @property
+    def train_arrays(self):
+        """(x0_tr, y_tr, m_sym) device arrays for the jitted train step."""
+        if not self._device_arrays:
+            self.stage()
+        d = self._device_arrays
+        return d["x0_tr"], d["y_tr"], d["m_sym"]
+
+    def padded_split(self, split, batch_size):
+        """Return (x0, y, mask, count) padded to a multiple of batch_size.
+
+        `mask` is 1.0 for real examples, 0.0 for padding; stat accumulation
+        multiplies by it, reproducing the reference's exact
+        sum-over-split / count semantics (scripts/lib/desc.py:10-22) with
+        static shapes. Arrays are reshaped to (n_batches, batch_size, ...) so
+        eval is a single `lax.scan`.
+        """
+        x0 = self.x0_tr if split == "tr" else self.x0_ts
+        y = self.y_tr if split == "tr" else self.y_ts
+        n = len(x0)
+        n_pad = _ceil_to(n, batch_size)
+        pad = n_pad - n
+        x0p = np.concatenate([x0, np.zeros((pad,) + x0.shape[1:], x0.dtype)])
+        yp = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+        # Padding labels are all-zero one-hots; give them class 0 so argmax
+        # is well-defined (their stats are masked out anyway).
+        mask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+        nb = n_pad // batch_size
+        x0p = x0p.reshape((nb, batch_size) + x0.shape[1:])
+        yp = yp.reshape((nb, batch_size) + y.shape[1:])
+        mask = mask.reshape(nb, batch_size)
+        return (jnp.asarray(x0p, self._dtype), jnp.asarray(yp, self._dtype),
+                jnp.asarray(mask), n)
+
+    # Host-side iterators, API-compatible with the reference Dataset
+    # (scripts/lib/data.py:64-85) for tooling that wants NumPy batches.
+
+    def training_set(self, n=128):
+        yield from _full_set(self.x0_tr, self.y_tr, n)
+
+    def test_set(self, n=128):
+        yield from _full_set(self.x0_ts, self.y_ts, n)
+
+
+def _full_set(x0, y, n):
+    i = 0
+    while i < len(x0):
+        s = slice(i, min(i + n, len(x0)))
+        yield x0[s], y[s]
+        i += n

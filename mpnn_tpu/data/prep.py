@@ -1,0 +1,217 @@
+"""Dataset preparation: MNIST, CIFAR-10/5/2, and the hybrid MNIST+CIFAR set.
+
+Produces `.npz` archives with the reference schema
+`{x0_tr, x0_ts, y_tr, y_ts, m_sym}` (reference scripts/prep-data):
+
+- MNIST: images resized 28->32 bilinear, scaled to [0,1], one-hot labels,
+  m_sym = zeros (digits are not flip-symmetric) (reference prep-data:40-61).
+- CIFAR-10: gamma-decoded (v/255)^2.2, NHWC, m_sym = ones
+  (reference prep-data:85-108).
+- CIFAR-2 / CIFAR-5: superclass label projections of CIFAR-10
+  (reference prep-data:110-136).
+- hybrid: MNIST digits 0-4 recolored with random 2-color gradients (seeded
+  rand.seed(0), min color distance 0.3) + CIFAR classes {airplane,
+  automobile, deer, frog, horse}; per-class flip mask [0]*5+[1]*5
+  (reference prep-data:140-192).
+
+Download URLs match the reference; in air-gapped environments pass local
+paths or use `make_synthetic_archives`."""
+
+import os
+from os.path import join
+
+import numpy as np
+
+from .synth import make_synthetic, make_synthetic_tiered
+
+MNIST_URL = "http://www.cs.nyu.edu/~roweis/data/mnist_all.mat"
+CIFAR10_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-matlab.tar.gz"
+
+CIFAR2_CLASSES = np.array([
+    [0, 0, 0, 0, 0, 0, 0, 1, 0, 0],
+    [1, 1, 1, 1, 1, 1, 1, 0, 1, 1]])
+CIFAR5_CLASSES = np.array([
+    [0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 1, 0, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 1, 0, 0, 0, 0],
+    [0, 0, 0, 0, 0, 0, 0, 1, 0, 0],
+    [1, 1, 1, 0, 0, 0, 1, 0, 1, 1]])
+# Hybrid keeps MNIST digits 0-4 and CIFAR classes 0,1,4,6,7
+# (reference prep-data:174: classes [0,1,2,3,4,10,11,14,16,17]).
+HYBRID_CLASSES = [0, 1, 2, 3, 4, 10, 11, 14, 16, 17]
+
+
+def _resize_bilinear(x, h, w):
+    """Batch bilinear resize (half-pixel centers) in NumPy; replaces the
+    reference's scipy.misc.imresize (prep-data:35-38)."""
+    n, h0, w0, c = x.shape
+    ys = (np.arange(h) + 0.5) * h0 / h - 0.5
+    xs = (np.arange(w) + 0.5) * w0 / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h0 - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w0 - 1)
+    y1 = np.clip(y0 + 1, 0, h0 - 1)
+    x1 = np.clip(x0 + 1, 0, w0 - 1)
+    wy = np.clip(ys - y0, 0, 1)[None, :, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def format_mnist(mat):
+    """mat: dict with train0..train9 / test0..test9 (N, 784) uint8 arrays."""
+    def split(prefix):
+        xs, ys = [], []
+        for i in range(10):
+            a = np.reshape(mat[f"{prefix}{i}"], (-1, 28, 28, 1)) / 255.0
+            xs.append(_resize_bilinear(a, 32, 32))
+            ys.append(np.ones((len(a), 1), "f") * np.identity(10, "f")[i])
+        return (np.vstack(xs).astype(np.float32),
+                np.vstack(ys).astype(np.float32))
+
+    x0_tr, y_tr = split("train")
+    x0_ts, y_ts = split("test")
+    return {"m_sym": np.zeros(10), "x0_tr": x0_tr, "x0_ts": x0_ts,
+            "y_tr": y_tr, "y_ts": y_ts}
+
+
+def format_cifar10(train_batches, test_batches):
+    """Batches: dicts with 'data' (N, 3072) uint8 and 'labels' (N, 1)."""
+    def fmt_x(batch):
+        return np.float32(np.transpose(
+            np.reshape(np.float64(batch["data"]) ** 2.2, (-1, 3, 32, 32)),
+            (0, 2, 3, 1)) / 255 ** 2.2)
+
+    def fmt_y(batch):
+        return np.float32(np.asarray(batch["labels"]).reshape(-1, 1)
+                          == np.arange(10))
+
+    return {
+        "m_sym": np.ones(10),
+        "x0_tr": np.vstack([fmt_x(b) for b in train_batches]),
+        "x0_ts": np.vstack([fmt_x(b) for b in test_batches]),
+        "y_tr": np.vstack([fmt_y(b) for b in train_batches]),
+        "y_ts": np.vstack([fmt_y(b) for b in test_batches])}
+
+
+def project_superclasses(cifar10, w_cls):
+    n = len(w_cls)
+    return {"m_sym": np.ones(n),
+            "x0_tr": cifar10["x0_tr"], "x0_ts": cifar10["x0_ts"],
+            "y_tr": np.dot(cifar10["y_tr"], w_cls.T),
+            "y_ts": np.dot(cifar10["y_ts"], w_cls.T)}
+
+
+def recolor(x, rand, d_min=0.3):
+    """Random 2-color gradient recoloring of grayscale images
+    (reference prep-data:144-152): draw c0, c1 in [0,1]^3 with
+    ||c1-c0|| >= d_min, map v -> c0 + (c1-c0)*v. RNG call order matches the
+    reference exactly for seeded reproducibility."""
+    out = []
+    for x_i in x:
+        c0 = np.float32(rand.rand(3))
+        c1 = np.float32(rand.rand(3))
+        while np.sqrt(np.sum(np.square(c1 - c0))) < d_min:
+            c1 = np.float32(rand.rand(3))
+        out.append(c0 + (c1 - c0) * x_i)
+    return np.array(out, np.float32)
+
+
+def make_hybrid(mnist, cifar10, seed=0):
+    """Recolored-MNIST + CIFAR hybrid with 10 kept classes
+    (reference prep-data:153-188)."""
+    rand = np.random.RandomState(seed)
+    x0_tr = np.vstack([recolor(mnist["x0_tr"], rand), cifar10["x0_tr"]])
+    x0_ts = np.vstack([recolor(mnist["x0_ts"], rand), cifar10["x0_ts"]])
+    y_tr = np.vstack([
+        np.hstack([mnist["y_tr"], np.zeros_like(mnist["y_tr"])]),
+        np.hstack([np.zeros_like(cifar10["y_tr"]), cifar10["y_tr"]])])
+    y_ts = np.vstack([
+        np.hstack([mnist["y_ts"], np.zeros_like(mnist["y_ts"])]),
+        np.hstack([np.zeros_like(cifar10["y_ts"]), cifar10["y_ts"]])])
+
+    def keep(x0, y):
+        masks = [np.argmax(y, 1) == c for c in HYBRID_CLASSES]
+        x0_out = np.vstack([x0[m] for m in masks])
+        y_out = np.vstack([
+            np.float32(np.ones((np.sum(m), 1))
+                       * (np.arange(len(HYBRID_CLASSES)) == c))
+            for c, m in enumerate(masks)])
+        return x0_out, y_out
+
+    x0_tr, y_tr = keep(x0_tr, y_tr)
+    x0_ts, y_ts = keep(x0_ts, y_ts)
+    return {"m_sym": np.array([0] * 5 + [1] * 5),
+            "x0_tr": x0_tr, "x0_ts": x0_ts, "y_tr": y_tr, "y_ts": y_ts}
+
+
+def save_archive(path, archive):
+    """np.savez of the single pickled dict, as the reference stores it
+    (prep-data:60, loader data.py:55)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, archive)
+
+
+def make_synthetic_archives(data_dir="data", small=False):
+    """Air-gapped fallback: deterministic synthetic datasets (correct
+    schema, shapes, and class counts) for every registry dataset name."""
+    size = dict(n_tr=512, n_ts=256) if small else dict(n_tr=4096, n_ts=1024)
+    specs = {
+        "synth.npz": dict(n_cls=10, **size),
+        "mnist.npz": dict(n_cls=10, **size),
+        "cifar-10.npz": dict(n_cls=10, **size),
+        "cifar-5.npz": dict(n_cls=5, **size),
+        "cifar-2.npz": dict(n_cls=2, **size),
+        "hybrid.npz": dict(n_cls=10, **size),
+    }
+    os.makedirs(data_dir, exist_ok=True)
+    for name, spec in specs.items():
+        if name in ("synth.npz", "hybrid.npz") and not small:
+            # Tiered easy/hard stand-in (hybrid-like): accuracy depends on
+            # depth, so acc-eff curves show the reference's tradeoff shape.
+            arch = make_synthetic_tiered(
+                n_tr=50000, n_ts=2000, h=32, w=32, c=3,
+                n_cls=spec["n_cls"], seed=hash(name) % (2 ** 31))
+        else:
+            arch = make_synthetic(h=32, w=32, c=3,
+                                  seed=hash(name) % (2 ** 31), **spec)
+        if name == "mnist.npz":
+            arch["m_sym"] = np.zeros(spec["n_cls"])
+        elif name == "hybrid.npz":
+            arch["m_sym"] = np.array([0] * 5 + [1] * 5)
+        save_archive(join(data_dir, name), arch)
+    return sorted(specs)
+
+
+def download_and_prepare(data_dir="data"):
+    """Full reference pipeline: download MNIST + CIFAR-10, write all five
+    archives (requires network + scipy.io)."""
+    from tempfile import TemporaryDirectory
+    from urllib.request import urlretrieve
+    from shutil import unpack_archive
+    import scipy.io as io
+
+    os.makedirs(data_dir, exist_ok=True)
+    with TemporaryDirectory() as tmp:
+        print("Downloading MNIST...", flush=True)
+        urlretrieve(MNIST_URL, join(tmp, "mnist.mat"))
+        mnist = format_mnist(io.loadmat(join(tmp, "mnist.mat")))
+        save_archive(join(data_dir, "mnist.npz"), mnist)
+
+        print("Downloading CIFAR-10...", flush=True)
+        urlretrieve(CIFAR10_URL, join(tmp, "cifar10.tar.gz"))
+        unpack_archive(join(tmp, "cifar10.tar.gz"), tmp)
+        base = join(tmp, "cifar-10-batches-mat")
+        tr = [io.loadmat(join(base, "data_batch_%i.mat" % i))
+              for i in range(1, 6)]
+        ts = [io.loadmat(join(base, "test_batch.mat"))]
+        cifar10 = format_cifar10(tr, ts)
+        save_archive(join(data_dir, "cifar-10.npz"), cifar10)
+        save_archive(join(data_dir, "cifar-2.npz"),
+                     project_superclasses(cifar10, CIFAR2_CLASSES))
+        save_archive(join(data_dir, "cifar-5.npz"),
+                     project_superclasses(cifar10, CIFAR5_CLASSES))
+
+        print("Combining MNIST and CIFAR-10...", flush=True)
+        save_archive(join(data_dir, "hybrid.npz"),
+                     make_hybrid(mnist, cifar10, seed=0))
