@@ -18,6 +18,7 @@ Download URLs match the reference; in air-gapped environments pass local
 paths or use `make_synthetic_archives`."""
 
 import os
+import zlib
 from os.path import join
 
 import numpy as np
@@ -166,15 +167,18 @@ def make_synthetic_archives(data_dir="data", small=False):
     }
     os.makedirs(data_dir, exist_ok=True)
     for name, spec in specs.items():
+        # zlib.crc32 is process-stable; builtin hash() is salted per
+        # process (PYTHONHASHSEED) and would silently change the archives
+        # between prep-data runs.
+        seed = zlib.crc32(name.encode()) % (2 ** 31)
         if name in ("synth.npz", "hybrid.npz") and not small:
             # Tiered easy/hard stand-in (hybrid-like): accuracy depends on
             # depth, so acc-eff curves show the reference's tradeoff shape.
             arch = make_synthetic_tiered(
                 n_tr=50000, n_ts=2000, h=32, w=32, c=3,
-                n_cls=spec["n_cls"], seed=hash(name) % (2 ** 31))
+                n_cls=spec["n_cls"], seed=seed)
         else:
-            arch = make_synthetic(h=32, w=32, c=3,
-                                  seed=hash(name) % (2 ** 31), **spec)
+            arch = make_synthetic(h=32, w=32, c=3, seed=seed, **spec)
         if name == "mnist.npz":
             arch["m_sym"] = np.zeros(spec["n_cls"])
         elif name == "hybrid.npz":

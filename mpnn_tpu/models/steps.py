@@ -143,6 +143,31 @@ def _train_step_body(net, batch_size, schedules, r_shift=4, mesh=None,
     return step
 
 
+_SAMPLE_STREAM = 7919  # fold_in tag separating batch sampling from aug keys
+
+
+def _chunk_sampler(rng, batch_size, x0_tr, y_tr):
+    """sample_span(t_first, n): ONE bandwidth-bound gather of n batches
+    (n static) -- per-step 128-row gathers are latency-bound on TPU. Under
+    a bf16 policy the image chunk is stored bf16 (augmentation's selection
+    matmuls are exact in any dtype; the net casts at its entry anyway).
+    Shared by make_train_loop and make_sweep_train_loop."""
+
+    def sample_span(t_first, n):
+        k = jax.random.fold_in(jax.random.fold_in(rng, _SAMPLE_STREAM),
+                               t_first)
+        idx = jax.random.randint(k, (n * batch_size,), 0, x0_tr.shape[0])
+        xc = jnp.take(x0_tr, idx, axis=0).reshape(
+            (n, batch_size) + x0_tr.shape[1:])
+        if ops_config.compute_dtype is not None:
+            xc = xc.astype(ops_config.compute_dtype)
+        yc = jnp.take(y_tr, idx, axis=0).reshape(
+            (n, batch_size) + y_tr.shape[1:])
+        return xc, yc
+
+    return sample_span
+
+
 def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
                     sample_tile=256):
     """Scan-chained training: run n_steps train steps in ONE device call.
@@ -174,27 +199,10 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
     """
     step = _train_step_body(net, batch_size, schedules, r_shift, mesh,
                             presampled=True)
-    _SAMPLE_STREAM = 7919  # fold_in tag separating sampling from aug keys
 
     def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
              k_cpt=None):
-        def sample_span(t_first, n):
-            """One bandwidth-bound gather of n batches (n static). Under a
-            bf16 policy the image chunk is stored bf16 (augmentation's
-            selection matmuls are exact in any dtype; the net casts at its
-            entry anyway)."""
-            from ..ops import config as ops_config
-            k = jax.random.fold_in(jax.random.fold_in(rng, _SAMPLE_STREAM),
-                                   t_first)
-            idx = jax.random.randint(k, (n * batch_size,), 0,
-                                     x0_tr.shape[0])
-            xc = jnp.take(x0_tr, idx, axis=0).reshape(
-                (n, batch_size) + x0_tr.shape[1:])
-            if ops_config.compute_dtype is not None:
-                xc = xc.astype(ops_config.compute_dtype)
-            yc = jnp.take(y_tr, idx, axis=0).reshape(
-                (n, batch_size) + y_tr.shape[1:])
-            return xc, yc
+        sample_span = _chunk_sampler(rng, batch_size, x0_tr, y_tr)
 
         def body(carry, inp):
             p, state, v = carry
@@ -264,23 +272,10 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
     # k_cpt per-net.
     vstep = jax.vmap(step, in_axes=(0, 0, 0, None, None, None, None, None,
                                     0))
-    _SAMPLE_STREAM = 7919
 
     def loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym,
              n_steps, k_cpts):
-        def sample_span(t_first, n):
-            from ..ops import config as ops_config
-            k = jax.random.fold_in(jax.random.fold_in(rng, _SAMPLE_STREAM),
-                                   t_first)
-            idx = jax.random.randint(k, (n * batch_size,), 0,
-                                     x0_tr.shape[0])
-            xc = jnp.take(x0_tr, idx, axis=0).reshape(
-                (n, batch_size) + x0_tr.shape[1:])
-            if ops_config.compute_dtype is not None:
-                xc = xc.astype(ops_config.compute_dtype)
-            yc = jnp.take(y_tr, idx, axis=0).reshape(
-                (n, batch_size) + y_tr.shape[1:])
-            return xc, yc
+        sample_span = _chunk_sampler(rng, batch_size, x0_tr, y_tr)
 
         def body(carry, inp):
             p, s, v = carry

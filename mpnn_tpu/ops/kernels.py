@@ -174,6 +174,11 @@ def fused_mcm_forward(xs, whs, wvs, bs, supp, batch_tile=4,
         out_shape=out_shapes,
         interpret=interpret,
     )(*kept, *whp, *wvp, *bsf)
+    # The kernel accumulates and writes fp32; under a compute policy the
+    # stage's output dtype must match mcm_xla's (bf16), or the custom_vjp
+    # cotangent dtypes disagree with the XLA-backward primal.
+    if config.compute_dtype is not None:
+        outs = [o.astype(config.compute_dtype) for o in outs]
     return list(outs)
 
 

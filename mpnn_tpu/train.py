@@ -40,6 +40,28 @@ def _tau_at(tau_fn, t, net):
     return float(tau_fn(t))
 
 
+def _write_epoch_outputs(out_dir, i, t, desc, net, params, state, vel, *,
+                         save_snapshots=True, verbose=True):
+    """The per-t_log on-disk contract, shared by the serial and sweep
+    paths: `%.4i-stats/%.8i.npy` snapshot, `%.4i-stats.npy` latest,
+    rendered tree appended to `%.4i-log.txt`, `%.4i.npy` checkpoint with
+    optimizer state + step (reference scripts/train-nets:144-157, plus the
+    resume extension)."""
+    text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (out_dir, i, t))
+    os.makedirs(out_dir, exist_ok=True)
+    if save_snapshots:
+        snap_dir = os.path.join(out_dir, "%.4i-stats" % i)
+        os.makedirs(snap_dir, exist_ok=True)
+        np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
+    np.save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
+    with open(os.path.join(out_dir, "%.4i-log.txt" % i), "a+") as f:
+        f.write(text + "\n")
+    write_net(os.path.join(out_dir, "%.4i.npy" % i), net, params, state,
+              extra={"vel": vel, "t": t})
+    if verbose:
+        print(text)
+
+
 def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
                   batch_size, out_dir=None, net_index=0, seed=0,
                   eval_batch_size=None, k_cpt_eval=None, verbose=True,
@@ -111,26 +133,12 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
                             tau=_tau_at(tau_fn, t - 1, net),
                             k_cpt=k_cpt_eval, eval_split=eval_split)
             if out_dir is not None:
-                text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (
-                    out_dir, net_index, t))
-                os.makedirs(out_dir, exist_ok=True)
-                if save_snapshots:
-                    snap_dir = os.path.join(out_dir,
-                                            "%.4i-stats" % net_index)
-                    os.makedirs(snap_dir, exist_ok=True)
-                    np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
-                np.save(os.path.join(out_dir, "%.4i-stats.npy" % net_index),
-                        desc)
-                with open(os.path.join(out_dir,
-                                       "%.4i-log.txt" % net_index),
-                          "a+") as f:
-                    f.write(text + "\n")
                 # Periodic checkpoint: the eval cadence doubles as the
                 # resume point (SURVEY.md section 5).
-                write_net(ckpt_path, net, params, state,
-                          extra={"vel": vel, "t": t})
-                if verbose:
-                    print(text)
+                _write_epoch_outputs(out_dir, net_index, t, desc, net,
+                                     params, state, vel,
+                                     save_snapshots=save_snapshots,
+                                     verbose=verbose)
     if verbose:
         dt = time.time() - t0
         n_run = n_iter - t_start
@@ -161,9 +169,14 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
 
     if vmap_sweep and getattr(expt, "sweep_k_cpts", None) is not None \
             and net_indices is None:
+        if profile_dir is not None or mesh is not None:
+            raise ValueError(
+                "--vmap-sweep does not support profile_dir/mesh; run "
+                "serially for those")
         return _train_sweep(expt, expt_name, dataset, n_iter=n_iter,
                             t_log=t_log, batch_size=batch_size,
-                            out_dir=out_dir, seed=seed, verbose=verbose)
+                            out_dir=out_dir, seed=seed, verbose=verbose,
+                            resume=resume)
 
     for i in indices:
         net = expt.nets[i](dataset.x0_shape, dataset.y_shape)
@@ -179,9 +192,11 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
 
 
 def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
-                 out_dir, seed, verbose):
+                 out_dir, seed, verbose, resume=False):
     """Joint vmapped training of a k_cpt sweep; same on-disk outputs as the
-    serial path (stats snapshots + latest, rendered logs, checkpoints)."""
+    serial path (stats snapshots + latest, rendered logs, checkpoints),
+    including a final write at t=n_iter when it is not a t_log boundary,
+    and resume from the per-net periodic checkpoints."""
     k_cpts = np.asarray(expt.sweep_k_cpts, np.float32)
     n_nets = len(k_cpts)
     net = expt.nets[0](dataset.x0_shape, dataset.y_shape)  # shared arch
@@ -191,15 +206,44 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
 
-    members = [init_training(net, seed + i) for i in range(n_nets)]
+    t_start = 0
+    members = None
+    if resume:
+        from .utils.serdes import read_net
+        paths = [os.path.join(out_dir, "%.4i.npy" % i)
+                 for i in range(n_nets)]
+        if all(os.path.exists(p) for p in paths):
+            loaded = [read_net(p) for p in paths]
+            ts = {int(ex["t"]) for _, _, _, ex in loaded
+                  if ex is not None and "t" in ex}
+            if len(ts) == 1:
+                t_start = ts.pop()
+                members = [(p, s, ex["vel"]) for _, p, s, ex in loaded]
+                if verbose:
+                    print("  [resuming %s sweep at t=%i]"
+                          % (expt_name, t_start))
+    if members is None:
+        members = [init_training(net, seed + i) for i in range(n_nets)]
     params_s = stack_trees([m[0] for m in members])
     state_s = stack_trees([m[1] for m in members])
     vel_s = stack_trees([m[2] for m in members])
     k_arr = jnp.asarray(k_cpts)
 
+    def write_all(t):
+        tau_t = _tau_at(expt.tau, t - 1, net)
+        descs = sweep_net_descs(net, dataset, params_s, state_s, k_cpts,
+                                batch_size=batch_size, tau=tau_t,
+                                eval_split=eval_split)
+        for i in range(n_nets):
+            _write_epoch_outputs(out_dir, i, t, descs[i], net,
+                                 unstack_tree(params_s, i),
+                                 unstack_tree(state_s, i),
+                                 unstack_tree(vel_s, i), verbose=verbose)
+
     os.makedirs(out_dir, exist_ok=True)
     t0_wall = time.time()
-    t = 0
+    t = t_start
+    last_written = t_start if t_start else -1
     while t < n_iter:
         n_chunk = min(t_log - (t % t_log), n_iter - t)
         params_s, state_s, vel_s, cs = loop(params_s, state_s, vel_s, t,
@@ -210,33 +254,19 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
             print("  --- Iteration %i (sweep of %i) ---\r" % (t, n_nets),
                   end="", flush=True)
         if t % t_log == 0:
-            tau_t = _tau_at(expt.tau, t - 1, net)
-            descs = sweep_net_descs(net, dataset, params_s, state_s,
-                                    k_cpts, batch_size=batch_size,
-                                    tau=tau_t, eval_split=eval_split)
-            for i in range(n_nets):
-                params = unstack_tree(params_s, i)
-                state = unstack_tree(state_s, i)
-                desc = descs[i]
-                text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (
-                    out_dir, i, t))
-                snap_dir = os.path.join(out_dir, "%.4i-stats" % i)
-                os.makedirs(snap_dir, exist_ok=True)
-                np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
-                np.save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
-                with open(os.path.join(out_dir, "%.4i-log.txt" % i),
-                          "a+") as f:
-                    f.write(text + "\n")
-                write_net(os.path.join(out_dir, "%.4i.npy" % i), net,
-                          params, state,
-                          extra={"vel": unstack_tree(vel_s, i), "t": t})
-                if verbose:
-                    print(text)
+            write_all(t)
+            last_written = t
+    if last_written != n_iter:
+        # n_iter not on a t_log boundary (or a no-eval short run): still
+        # persist the final state, as the serial path does
+        # (reference scripts/train-nets:157).
+        write_all(n_iter)
     if verbose:
         dt = time.time() - t0_wall
+        n_run = n_iter - t_start
         print("\n  [sweep of %i nets x %i iters in %.1fs — %.0f img/s "
-              "aggregate]" % (n_nets, n_iter, dt,
-                              n_nets * n_iter * batch_size / max(dt, 1e-9)))
+              "aggregate]" % (n_nets, n_run, dt,
+                              n_nets * n_run * batch_size / max(dt, 1e-9)))
 
 
 def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,

@@ -82,3 +82,22 @@ def test_ineligible_shapes_fall_back():
     mcm = MultiscaleConvMax(n_chan=[4], supp=3)
     mcm.build([(2, 2, 3)])  # 2x2 scale clips the kernel to 2x2
     assert not mcm._pallas_eligible()
+
+
+def test_fused_mcm_bf16_vjp_dtypes(stage):
+    """Under the bf16 policy the fused kernel's output dtype must match
+    mcm_xla's, or the custom_vjp cotangent dtypes disagree (regression:
+    previously crashed with a fp32-vs-bf16 ValueError)."""
+    import jax.numpy as jnp
+    xs, whs, wvs, bs = stage
+    config.set_compute_dtype(jnp.bfloat16)
+    try:
+        def loss(whs):
+            outs = fused_mcm([x.astype(jnp.bfloat16) for x in xs],
+                                     whs, wvs, bs, 3, True)
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2) for o in outs)
+
+        g = jax.grad(loss)(whs)
+        assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
+    finally:
+        config.set_compute_dtype(None)

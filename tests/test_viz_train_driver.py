@@ -106,3 +106,36 @@ def test_adaptive_driver(tmp_path):
     assert (out / "net.npy").exists()
     d = np.load(stats[0], allow_pickle=True)[()]
     assert d["type"] == "ActorNet"
+
+
+@pytest.fixture()
+def synth_npz_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sweepdata")
+    (root / "data").mkdir()
+    np.savez_compressed(root / "data" / "synth.npz",
+                        synth.make_synthetic(n_tr=96, n_ts=32, h=16, w=16,
+                                             n_cls=10, seed=1))
+    return str(root)
+
+
+def test_vmap_sweep_final_write_and_resume(tmp_path, synth_npz_dir):
+    """--vmap-sweep writes final state when n_iter is off the t_log grid,
+    and --resume continues from the per-net checkpoints (code-review
+    findings: both previously silently lost work)."""
+    import numpy as np
+    from mpnn_tpu.train import train_experiment
+    from mpnn_tpu.utils.serdes import read_net
+
+    out = str(tmp_path / "nets")
+    train_experiment("synth-ac", n_iter=5, t_log=4, batch_size=8,
+                     data_root=synth_npz_dir, out_root=out, verbose=False,
+                     vmap_sweep=True)
+    for i in range(8):
+        _, _, _, extra = read_net(f"{out}/synth-ac/%.4i.npy" % i)
+        assert int(extra["t"]) == 5   # final write happened
+    # Resume: continue to 7 iters from the t=5 checkpoints.
+    train_experiment("synth-ac", n_iter=7, t_log=4, batch_size=8,
+                     data_root=synth_npz_dir, out_root=out, verbose=False,
+                     vmap_sweep=True, resume=True)
+    _, _, _, extra = read_net(f"{out}/synth-ac/0000.npy")
+    assert int(extra["t"]) == 7
