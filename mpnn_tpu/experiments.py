@@ -225,6 +225,8 @@ def make_experiments():
         "synth-sr": _sweep_sr("data/synth.npz"),
         "synth-ac": _sweep("data/synth.npz", ac_chain, AC_TAU),
         "synth-cr": _sweep("data/synth.npz", cr_chain, CR_TAU),
+        "synth-ac-tree": _sweep("data/synth.npz", ac_tree, AC_TAU),
+        "synth-cr-tree": _sweep("data/synth.npz", cr_tree, CR_TAU),
     }
     return e
 
@@ -248,5 +250,8 @@ def make_adaptive_experiments():
             tau=CR_TAU),
         "synth-ac-dynkcpt": Ns(
             dataset="data/synth.npz", net=ac_chain(dyn_k_cpt=True),
+            tau=AC_TAU),
+        "synth-ac-tree-dynkcpt": Ns(
+            dataset="data/synth.npz", net=ac_tree(dyn_k_cpt=True),
             tau=AC_TAU),
     }
