@@ -31,6 +31,26 @@ def _tree_width(desc):
     return max(1.0, sum(_tree_width(s) for s in desc["sinks"]))
 
 
+def _tree_depth(desc):
+    if not desc["sinks"]:
+        return 0
+    return 1 + max(_tree_depth(s) for s in desc["sinks"])
+
+
+def _fig_dims(desc):
+    """Per-net figure size scaled to the topology: wide branching trees
+    (the reference's dr_tree has 48 leaf slots) get proportionally wider
+    canvases so the pie nodes stay legible; chains keep the compact
+    column the reference's chain grids use."""
+    tw = _tree_width(desc["root"])
+    td = _tree_depth(desc["root"])
+    w = max(1.6, 0.26 * tw)
+    # Content is drawn with equal aspect (tw x td data units): match the
+    # canvas to it so wide trees don't sit in tall empty rows.
+    h = max(2.4, w * (td + 1.5) / (tw + 1.5) + 0.4)
+    return w, h
+
+
 def _layout(desc, x0, x1, depth, pos):
     """Assign (x, -depth) positions; subtree widths set horizontal spans."""
     x = (x0 + x1) / 2
@@ -108,10 +128,16 @@ def render_experiment_grid(logs, expt, out_path, split="stats_ts",
     descs = logs.get(expt)
     if not descs:
         return None
-    fig, axes = plt.subplots(1, len(descs),
-                             figsize=(1.6 * len(descs), 5.0),
+    w, h = _fig_dims(descs[0])
+    n_cols = len(descs) if w * len(descs) <= 18 else max(1, int(18 // w))
+    n_rows = -(-len(descs) // n_cols)
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(w * n_cols, h * n_rows),
                              squeeze=False)
-    for ax, desc in zip(axes[0], descs):
+    flat = [ax for row in axes for ax in row]
+    for ax in flat[len(descs):]:
+        ax.axis("off")
+    for ax, desc in zip(flat, descs):
         draw_net(ax, desc, split, by_class)
     fig.suptitle(expt)
     fig.tight_layout()
@@ -127,7 +153,8 @@ def render_video_frames(snapshots, out_dir, split="stats_ts",
     makedirs(out_dir, exist_ok=True)
     paths = []
     for i, desc in enumerate(snapshots):
-        fig, ax = plt.subplots(figsize=(3.2, 5.0))
+        w, h = _fig_dims(desc)
+        fig, ax = plt.subplots(figsize=(max(w, 3.2), max(h, 5.0)))
         draw_net(ax, desc, split, by_class)
         path = join(out_dir, "%03i.png" % i)
         fig.savefig(path, dpi=120)
