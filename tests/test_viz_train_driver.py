@@ -139,3 +139,40 @@ def test_vmap_sweep_final_write_and_resume(tmp_path, synth_npz_dir):
                      vmap_sweep=True, resume=True)
     _, _, _, extra = read_net(f"{out}/synth-ac/0000.npy")
     assert int(extra["t"]) == 7
+
+
+def _leaf_desc(name="LogReg"):
+    return {"name": name, "sinks": [],
+            "stats_tr": {"p_cor": 0.5, "p_inc": 0.1},
+            "stats_ts": {"p_cor": 0.5, "p_inc": 0.1}}
+
+
+def _node_desc(sinks, name="ReConvMax"):
+    return {"name": name, "sinks": sinks, "stats_tr": {}, "stats_ts": {}}
+
+
+def test_nld_canvas_scales_with_topology(tmp_path):
+    """Wide branching trees get wider canvases and wrap into grid rows;
+    chains keep compact columns (hand-built descriptors, no training)."""
+    from mpnn_tpu.viz import nld
+
+    def tree(depth, fan):
+        if depth == 0:
+            return _leaf_desc()
+        return _node_desc([_leaf_desc()] +
+                          [tree(depth - 1, fan) for _ in range(fan)])
+
+    chain = {"type": "ActorNet", "root": tree(4, 1),
+             "stats_tr": {}, "stats_ts": {}}
+    wide = {"type": "ActorNet", "root": tree(4, 2),
+            "stats_tr": {}, "stats_ts": {}}
+    wc, hc = nld._fig_dims(chain)
+    ww, hw = nld._fig_dims(wide)
+    assert ww > wc  # 2-way fanout tree is drawn wider than the chain
+
+    # 8 wide trees wrap into multiple rows instead of one microscopic row.
+    logs = {"t": [wide] * 8, "c": [chain] * 8}
+    p = nld.render_experiment_grid(logs, "t", str(tmp_path / "t.pdf"))
+    assert p and os.path.exists(p)
+    p = nld.render_experiment_grid(logs, "c", str(tmp_path / "c.pdf"))
+    assert p and os.path.exists(p)
