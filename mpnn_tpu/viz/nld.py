@@ -149,7 +149,7 @@ def render_experiment_grid(logs, expt, out_path, split="stats_ts",
 def render_video_frames(snapshots, out_dir, split="stats_ts",
                         by_class=False):
     """Per-epoch frames (reference scripts/make-videos:258-277): one PNG per
-    descriptor snapshot; assemble externally (e.g. ffmpeg) if desired."""
+    descriptor snapshot; assemble with assemble_gif (or externally)."""
     makedirs(out_dir, exist_ok=True)
     paths = []
     for i, desc in enumerate(snapshots):
@@ -161,3 +161,24 @@ def render_video_frames(snapshots, out_dir, split="stats_ts",
         plt.close(fig)
         paths.append(path)
     return paths
+
+
+def assemble_gif(frame_paths, out_path, ms_per_frame=250):
+    """Assemble rendered frames into an animated GIF (the in-repo analogue
+    of the video files reference make-videos produces from its frame
+    sequences). Frames may differ slightly in size (tight bboxes); they are
+    letterboxed onto the largest canvas."""
+    if not frame_paths:
+        return None
+    from PIL import Image
+    frames = [Image.open(p).convert("RGB") for p in frame_paths]
+    w = max(f.width for f in frames)
+    h = max(f.height for f in frames)
+    canvas = []
+    for f in frames:
+        c = Image.new("RGB", (w, h), (255, 255, 255))
+        c.paste(f, ((w - f.width) // 2, (h - f.height) // 2))
+        canvas.append(c)
+    canvas[0].save(out_path, save_all=True, append_images=canvas[1:],
+                   duration=ms_per_frame, loop=0)
+    return out_path

@@ -84,6 +84,8 @@ def test_figures_from_driver_outputs(trained_dir):
         loading.load_snapshots(nets_dir, "synth-ac", 0),
         os.path.join(fig_dir, "vid"))
     assert len(frames) == 3
+    gif = nld.assemble_gif(frames, os.path.join(fig_dir, "vid.gif"))
+    assert gif and os.path.exists(gif)
 
 
 def test_adaptive_driver(tmp_path):
