@@ -43,6 +43,7 @@ class Dataset:
         self.m_sym = np.asarray(archive["m_sym"], np.float32)
         self._dtype = dtype
         self._device_arrays = {}
+        self._padded_cache = {}
         if device_put:
             self.stage()
 
@@ -86,7 +87,16 @@ class Dataset:
         sum-over-split / count semantics (scripts/lib/desc.py:10-22) with
         static shapes. Arrays are reshaped to (n_batches, batch_size, ...) so
         eval is a single `lax.scan`.
+
+        The device arrays are memoized per (split, batch_size): a full
+        split is ~615 MB and the periodic eval cadence would otherwise
+        re-transfer it host->device at every t_log (measured ~60 s/eval
+        through the tunneled runtime -- it dominated training wall time).
         """
+        key = (split, batch_size)
+        hit = self._padded_cache.get(key)
+        if hit is not None:
+            return hit
         x0 = self.x0_tr if split == "tr" else self.x0_ts
         y = self.y_tr if split == "tr" else self.y_ts
         n = len(x0)
@@ -101,8 +111,10 @@ class Dataset:
         x0p = x0p.reshape((nb, batch_size) + x0.shape[1:])
         yp = yp.reshape((nb, batch_size) + y.shape[1:])
         mask = mask.reshape(nb, batch_size)
-        return (jnp.asarray(x0p, self._dtype), jnp.asarray(yp, self._dtype),
-                jnp.asarray(mask), n)
+        out = (jnp.asarray(x0p, self._dtype), jnp.asarray(yp, self._dtype),
+               jnp.asarray(mask), n)
+        self._padded_cache[key] = out
+        return out
 
     # Host-side iterators, API-compatible with the reference Dataset
     # (scripts/lib/data.py:64-85) for tooling that wants NumPy batches.
