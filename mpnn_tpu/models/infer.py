@@ -63,14 +63,21 @@ def _gather_act(act, idx):
 def make_routed_infer_fn(net, batch_size, capacities=1.0):
     """Build a jitted routed-inference function for any tree net.
 
-    infer(params, state, x0) -> dict with
+    infer(params, state, x0, k_cpt=None) -> dict with
       probs:     (B, n_cls) class probabilities from each example's exit head
       exit_idx:  (B,) preorder index of the leaf the example exited through
       ops:       (B,) realized op count (the measured analogue of `moc`)
 
     capacities: scalar fraction, or a per-switch list in preorder; internal
     children of switch s get buffers of ceil(f_s * B). 1.0 == dense hard
-    routing."""
+    routing.
+
+    k_cpt: optional scalar cost-of-compute price. For dyn_k_cpt nets
+    (reference scripts/lib/net_types.py:146-164) the routers condition on
+    this price, so ONE deployed adaptive net serves any accuracy/compute
+    point; it is a traced operand, so every price shares one compiled
+    program. None uses the net's trained hypers.k_cpt (non-adaptive nets
+    ignore it)."""
     switches = [l for l in net.layers if len(l.sinks) > 1]
     if np.isscalar(capacities):
         fracs = {id(sw): float(capacities) for sw in switches}
@@ -88,9 +95,10 @@ def make_routed_infer_fn(net, batch_size, capacities=1.0):
                 f"switch {sw.name} has capacity < 1 but no leaf child to "
                 "force-exit overflow through")
 
-    def infer(params, state, x0):
-        ctx = Ctx(train=False, rng=None, tau=1.0, eps=eps_rte,
-                  k_cpt=getattr(net.hypers, "k_cpt", 0.0))
+    def infer(params, state, x0, k_cpt=None):
+        kc = (getattr(net.hypers, "k_cpt", 0.0) if k_cpt is None
+              else jnp.asarray(k_cpt, jnp.float32))
+        ctx = Ctx(train=False, rng=None, tau=1.0, eps=eps_rte, k_cpt=kc)
         B = batch_size  # B doubles as the invalid-index sentinel
         out = {
             "probs": jnp.zeros((B, n_cls), jnp.float32),

@@ -34,10 +34,11 @@ def test_chain_stage_decomposition(chain_net):
     assert kinds == ["pass", "switch", "switch", "pass", "terminal"]
 
 
-def _dense_reference(net, params, state, x0, y):
+def _dense_reference(net, params, state, x0, y, k_cpt=None):
     """Exit pattern + probs via the dense pi_ev path."""
     B = x0.shape[0]
-    ctx = Ctx(train=False, tau=1.0, eps=1e-6, k_cpt=net.hypers.k_cpt)
+    kc = net.hypers.k_cpt if k_cpt is None else k_cpt
+    ctx = Ctx(train=False, tau=1.0, eps=1e-6, k_cpt=kc)
     recs, _ = net.forward(params, state, x0, y, ctx)
     propagate(net, recs, B, ctx.tau, ctx.eps)
     # Walk leaves in chain order; each example's exit = the leaf with
@@ -136,3 +137,53 @@ def test_all_examples_assigned(chain_net, synth_dataset):
     assert (np.asarray(out["ops"]) > 0).all()
     np.testing.assert_allclose(np.asarray(out["probs"]).sum(1), 1.0,
                                atol=1e-4)
+
+
+def test_dyn_k_cpt_price_knob(synth_dataset):
+    """Adaptive (dyn_k_cpt) nets: the routed engine's traced k_cpt operand
+    changes routing (routers condition on the price) and matches the dense
+    pi_ev path at every price at capacity 1.0."""
+    root = pyr(rcm([8, 8], reg(10),
+                   rcm([8], reg(10))))
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape, root=root,
+                   dyn_k_cpt=True)
+    params, state, _ = init_training(net, seed=7)
+
+    # Routers init with a zero-weight final dense (reference
+    # arch_and_hypers.py:49) so fresh routing is input-blind; randomize
+    # router params so exits depend on their input (incl. the price col).
+    rand = np.random.RandomState(0)
+    perturb = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rand.normal(0, 0.5, a.shape), a.dtype), t)
+
+    def walk(p):
+        if not isinstance(p, dict):
+            return p
+        q = dict(p)
+        if q.get("router"):
+            q["router"] = perturb(q["router"])
+        for key in ("sinks", "comps"):
+            if q.get(key):
+                q[key] = [walk(s) for s in q[key]]
+        return q
+
+    params = walk(params)
+    B = 64
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    y = jnp.asarray(synth_dataset.y_ts[:B])
+    infer = make_routed_infer_fn(net, B, capacities=1.0)
+
+    outs = {}
+    for k in (0.0, 1e-5):  # alpha_cpt=1e7 -> price feature 0 vs 100
+        out = infer(params, state, x0, k)
+        exit_leaf, probs, moc = _dense_reference(net, params, state, x0, y,
+                                                 k_cpt=k)
+        np.testing.assert_array_equal(np.asarray(out["exit_idx"]), exit_leaf)
+        np.testing.assert_allclose(np.asarray(out["probs"]), probs,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["ops"]), moc, rtol=1e-6)
+        outs[k] = np.asarray(out["exit_idx"])
+    # The price is actually wired into routing: extreme prices route
+    # differently (random-init routers see a dominating price column).
+    assert (outs[0.0] != outs[1e-5]).any()
