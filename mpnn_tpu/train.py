@@ -234,11 +234,16 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
         descs = sweep_net_descs(net, dataset, params_s, state_s, k_cpts,
                                 batch_size=batch_size, tau=tau_t,
                                 eval_split=eval_split)
+        # ONE overlapped device->host pull of the stacked trees; per-net
+        # unstacking is then numpy views (per-net on-device slicing +
+        # per-leaf pulls cost ~2 ms dispatch x thousands of leaves through
+        # the tunneled runtime and dominated the epoch).
+        host_p, host_s, host_v = jax.device_get((params_s, state_s, vel_s))
         for i in range(n_nets):
             _write_epoch_outputs(out_dir, i, t, descs[i], net,
-                                 unstack_tree(params_s, i),
-                                 unstack_tree(state_s, i),
-                                 unstack_tree(vel_s, i), verbose=verbose)
+                                 unstack_tree(host_p, i),
+                                 unstack_tree(host_s, i),
+                                 unstack_tree(host_v, i), verbose=verbose)
 
     os.makedirs(out_dir, exist_ok=True)
     t0_wall = time.time()

@@ -34,7 +34,11 @@ STATE_KEYS = frozenset({"m_avg", "v_avg"})
 
 
 def _to_np(tree):
-    return jax.tree.map(lambda a: np.asarray(jax.device_get(a)), tree)
+    # One tree-level device_get: transfers of all leaves start async and
+    # overlap, instead of one blocking round trip per leaf (the tunneled
+    # runtime's per-transfer latency made per-leaf pulls dominate
+    # checkpoint writes).
+    return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
 ################################################################################
@@ -74,6 +78,9 @@ def _encode_node(node, node_params, node_state):
 
 
 def encode_net(net, params, state, extra=None):
+    # Pull everything to host in ONE overlapped transfer before the
+    # per-layer recursion (whose per-leaf device_gets then become no-ops).
+    params, state = jax.device_get((params, state))
     rec = dict(
         type=type(net).__name__,
         root=_encode_node(net.root, params, state),
