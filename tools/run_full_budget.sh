@@ -1,11 +1,20 @@
 #!/bin/bash
-# Full reference-budget campaign: n_iter=80000, t_log=2500, batch 128 --
-# the exact training regime of the reference (scripts/arch_and_hypers.py:33-35
-# in /root/reference) -- on the tiered synthetic dataset, single v5e chip.
+# Training campaign on the single v5e chip, two parts:
 #
-# Runs serially (one TPU). Each experiment is its own process so the
+# 1. FULL reference budget (n_iter=80000, t_log=2500, batch 128 -- the exact
+#    regime of reference scripts/arch_and_hypers.py:33-35) for the tiered-
+#    synthetic chain suite + adaptive nets.
+# 2. The reference's 9-experiment hybrid ablation suite (sr / ac / ac-nokdec /
+#    ac-notalr / ac-tree / cr / cr-opt / cr-clserr / cr-notalr) on the
+#    synthetic hybrid stand-in at 10k iters -- populates the 9-panel
+#    training-strategy figure (reference make-acc-eff-plots:50-175).
+#
+# The 80k tree sweep runs LAST: it is the longest and every t_log boundary
+# writes stats + a resumable checkpoint, so interrupting it still leaves
+# usable results.
+#
+# Runs serially (one TPU). Each experiment is its own process; the
 # persistent compile cache (.jax_cache/) is the only cross-run state.
-# Logs to nets/campaign-logs/<name>.log; exits on first failure.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs
@@ -22,10 +31,25 @@ run() {
     fi
 }
 
-run synth-ac        ./scripts/train-nets synth-ac --vmap-sweep --precision bf16 --analytic-l2
-run synth-cr        ./scripts/train-nets synth-cr --vmap-sweep --precision bf16 --analytic-l2
-run synth-sr        ./scripts/train-nets synth-sr --precision bf16 --analytic-l2
+# Part 1: full 80k reference budget, tiered synthetic.
+run synth-ac         ./scripts/train-nets synth-ac --vmap-sweep --precision bf16 --analytic-l2
+run synth-cr         ./scripts/train-nets synth-cr --vmap-sweep --precision bf16 --analytic-l2
+run synth-sr         ./scripts/train-nets synth-sr --precision bf16 --analytic-l2
 run synth-ac-dynkcpt ./scripts/train-adaptive-nets synth-ac-dynkcpt --precision bf16
-run synth-ac-tree   ./scripts/train-nets synth-ac-tree --vmap-sweep --precision bf16 --analytic-l2
 run synth-ac-tree-dynkcpt ./scripts/train-adaptive-nets synth-ac-tree-dynkcpt --precision bf16
+
+# Part 2: the 9-experiment hybrid ablation suite, 10k iters.
+HY="--n-iter 10000 --precision bf16 --analytic-l2"
+run hybrid-ac        ./scripts/train-nets hybrid-ac        --vmap-sweep $HY
+run hybrid-ac-nokdec ./scripts/train-nets hybrid-ac-nokdec --vmap-sweep $HY
+run hybrid-ac-notalr ./scripts/train-nets hybrid-ac-notalr --vmap-sweep $HY
+run hybrid-cr        ./scripts/train-nets hybrid-cr        --vmap-sweep $HY
+run hybrid-cr-opt    ./scripts/train-nets hybrid-cr-opt    --vmap-sweep $HY
+run hybrid-cr-clserr ./scripts/train-nets hybrid-cr-clserr --vmap-sweep $HY
+run hybrid-cr-notalr ./scripts/train-nets hybrid-cr-notalr --vmap-sweep $HY
+run hybrid-sr        ./scripts/train-nets hybrid-sr        $HY
+run hybrid-ac-tree   ./scripts/train-nets hybrid-ac-tree   --vmap-sweep $HY
+
+# Part 3: the long one -- full-budget tree sweep (resumable at every t_log).
+run synth-ac-tree    ./scripts/train-nets synth-ac-tree --vmap-sweep --precision bf16 --analytic-l2 --resume
 echo "=== campaign complete" | tee -a nets/campaign-logs/campaign.log
