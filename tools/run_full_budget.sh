@@ -50,6 +50,23 @@ run hybrid-cr-notalr ./scripts/train-nets hybrid-cr-notalr --vmap-sweep $HY
 run hybrid-sr        ./scripts/train-nets hybrid-sr        $HY
 run hybrid-ac-tree   ./scripts/train-nets hybrid-ac-tree   --vmap-sweep $HY
 
+# Part 2b: dataset-complexity suite (reference make-acc-eff-plots:181-199):
+# cifar2/5/10 sr+ac on the synthetic CIFAR stand-ins, 10k iters.
+run cifar2-sr        ./scripts/train-nets cifar2-sr  $HY
+run cifar2-ac        ./scripts/train-nets cifar2-ac  --vmap-sweep $HY
+run cifar5-sr        ./scripts/train-nets cifar5-sr  $HY
+run cifar5-ac        ./scripts/train-nets cifar5-ac  --vmap-sweep $HY
+run cifar10-sr       ./scripts/train-nets cifar10-sr $HY
+run cifar10-ac       ./scripts/train-nets cifar10-ac --vmap-sweep $HY
+
+# Part 2c: width-scaling suite (reference make-acc-eff-plots:205-236).
+# 4x/9x the compute of the base nets, so a shorter budget bounds wall-clock.
+WS="--n-iter 5000 --precision bf16 --analytic-l2"
+run cifar10-sr-fat    ./scripts/train-nets cifar10-sr-fat    $WS
+run cifar10-ac-fat    ./scripts/train-nets cifar10-ac-fat    --vmap-sweep $WS
+run cifar10-sr-fatter ./scripts/train-nets cifar10-sr-fatter $WS
+run cifar10-ac-fatter ./scripts/train-nets cifar10-ac-fatter --vmap-sweep $WS
+
 # Part 3: the long one -- full-budget tree sweep (resumable at every t_log).
 run synth-ac-tree    ./scripts/train-nets synth-ac-tree --vmap-sweep --precision bf16 --analytic-l2 --resume
 echo "=== campaign complete" | tee -a nets/campaign-logs/campaign.log
