@@ -148,13 +148,13 @@ def fused_mcm_forward(xs, whs, wvs, bs, supp, batch_tile=4,
     def tile_spec(shape):
         return pl.BlockSpec((tb,) + shape[1:],
                             lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.ANY if interpret
+                            memory_space=pl.ANY if interpret
                             else pltpu.VMEM)
 
     def full_spec(arr):
         return pl.BlockSpec(arr.shape,
                             lambda i: tuple(0 for _ in arr.shape),
-                            memory_space=pltpu.ANY if interpret
+                            memory_space=pl.ANY if interpret
                             else pltpu.VMEM)
 
     in_specs = ([tile_spec(x.shape) for x in kept]
