@@ -128,7 +128,11 @@ def render_experiment_grid(logs, expt, out_path, split="stats_ts",
     descs = logs.get(expt)
     if not descs:
         return None
-    w, h = _fig_dims(descs[0])
+    # Heterogeneous sweeps (the SR depth ladder) mix topology sizes: size
+    # every cell for the largest net so deep chains stay legible.
+    dims = [_fig_dims(d) for d in descs]
+    w = max(d[0] for d in dims)
+    h = max(d[1] for d in dims)
     n_cols = len(descs) if w * len(descs) <= 18 else max(1, int(18 // w))
     n_rows = -(-len(descs) // n_cols)
     fig, axes = plt.subplots(n_rows, n_cols,

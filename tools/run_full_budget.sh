@@ -32,41 +32,41 @@ run() {
 }
 
 # Part 1: full 80k reference budget, tiered synthetic.
-run synth-ac         ./scripts/train-nets synth-ac --vmap-sweep --precision bf16 --analytic-l2
-run synth-cr         ./scripts/train-nets synth-cr --vmap-sweep --precision bf16 --analytic-l2
-run synth-sr         ./scripts/train-nets synth-sr --precision bf16 --analytic-l2
+run synth-ac         ./scripts/train-nets synth-ac --resume --vmap-sweep --precision bf16 --analytic-l2
+run synth-cr         ./scripts/train-nets synth-cr --resume --vmap-sweep --precision bf16 --analytic-l2
+run synth-sr         ./scripts/train-nets synth-sr --resume --precision bf16 --analytic-l2
 run synth-ac-dynkcpt ./scripts/train-adaptive-nets synth-ac-dynkcpt --precision bf16
 run synth-ac-tree-dynkcpt ./scripts/train-adaptive-nets synth-ac-tree-dynkcpt --precision bf16
 
 # Part 2: the 9-experiment hybrid ablation suite, 10k iters.
 HY="--n-iter 10000 --precision bf16 --analytic-l2"
-run hybrid-ac        ./scripts/train-nets hybrid-ac        --vmap-sweep $HY
-run hybrid-ac-nokdec ./scripts/train-nets hybrid-ac-nokdec --vmap-sweep $HY
-run hybrid-ac-notalr ./scripts/train-nets hybrid-ac-notalr --vmap-sweep $HY
-run hybrid-cr        ./scripts/train-nets hybrid-cr        --vmap-sweep $HY
-run hybrid-cr-opt    ./scripts/train-nets hybrid-cr-opt    --vmap-sweep $HY
-run hybrid-cr-clserr ./scripts/train-nets hybrid-cr-clserr --vmap-sweep $HY
-run hybrid-cr-notalr ./scripts/train-nets hybrid-cr-notalr --vmap-sweep $HY
-run hybrid-sr        ./scripts/train-nets hybrid-sr        $HY
-run hybrid-ac-tree   ./scripts/train-nets hybrid-ac-tree   --vmap-sweep $HY
+run hybrid-ac        ./scripts/train-nets hybrid-ac --resume        --vmap-sweep $HY
+run hybrid-ac-nokdec ./scripts/train-nets hybrid-ac-nokdec --resume --vmap-sweep $HY
+run hybrid-ac-notalr ./scripts/train-nets hybrid-ac-notalr --resume --vmap-sweep $HY
+run hybrid-cr        ./scripts/train-nets hybrid-cr --resume        --vmap-sweep $HY
+run hybrid-cr-opt    ./scripts/train-nets hybrid-cr-opt --resume    --vmap-sweep $HY
+run hybrid-cr-clserr ./scripts/train-nets hybrid-cr-clserr --resume --vmap-sweep $HY
+run hybrid-cr-notalr ./scripts/train-nets hybrid-cr-notalr --resume --vmap-sweep $HY
+run hybrid-sr        ./scripts/train-nets hybrid-sr --resume        $HY
+run hybrid-ac-tree   ./scripts/train-nets hybrid-ac-tree --resume   --vmap-sweep $HY
 
 # Part 2b: dataset-complexity suite (reference make-acc-eff-plots:181-199):
 # cifar2/5/10 sr+ac on the synthetic CIFAR stand-ins, 10k iters.
-run cifar2-sr        ./scripts/train-nets cifar2-sr  $HY
-run cifar2-ac        ./scripts/train-nets cifar2-ac  --vmap-sweep $HY
-run cifar5-sr        ./scripts/train-nets cifar5-sr  $HY
-run cifar5-ac        ./scripts/train-nets cifar5-ac  --vmap-sweep $HY
-run cifar10-sr       ./scripts/train-nets cifar10-sr $HY
-run cifar10-ac       ./scripts/train-nets cifar10-ac --vmap-sweep $HY
+run cifar2-sr        ./scripts/train-nets cifar2-sr --resume  $HY
+run cifar2-ac        ./scripts/train-nets cifar2-ac --resume  --vmap-sweep $HY
+run cifar5-sr        ./scripts/train-nets cifar5-sr --resume  $HY
+run cifar5-ac        ./scripts/train-nets cifar5-ac --resume  --vmap-sweep $HY
+run cifar10-sr       ./scripts/train-nets cifar10-sr --resume $HY
+run cifar10-ac       ./scripts/train-nets cifar10-ac --resume --vmap-sweep $HY
 
 # Part 2c: width-scaling suite (reference make-acc-eff-plots:205-236).
 # 4x/9x the compute of the base nets, so a shorter budget bounds wall-clock.
 WS="--n-iter 5000 --precision bf16 --analytic-l2"
-run cifar10-sr-fat    ./scripts/train-nets cifar10-sr-fat    $WS
-run cifar10-ac-fat    ./scripts/train-nets cifar10-ac-fat    --vmap-sweep $WS
-run cifar10-sr-fatter ./scripts/train-nets cifar10-sr-fatter $WS
-run cifar10-ac-fatter ./scripts/train-nets cifar10-ac-fatter --vmap-sweep $WS
+run cifar10-sr-fat    ./scripts/train-nets cifar10-sr-fat --resume    $WS
+run cifar10-ac-fat    ./scripts/train-nets cifar10-ac-fat --resume    --vmap-sweep $WS
+run cifar10-sr-fatter ./scripts/train-nets cifar10-sr-fatter --resume $WS
+run cifar10-ac-fatter ./scripts/train-nets cifar10-ac-fatter --resume --vmap-sweep $WS
 
 # Part 3: the long one -- full-budget tree sweep (resumable at every t_log).
-run synth-ac-tree    ./scripts/train-nets synth-ac-tree --vmap-sweep --precision bf16 --analytic-l2 --resume
+run synth-ac-tree    ./scripts/train-nets synth-ac-tree --resume --vmap-sweep --precision bf16 --analytic-l2
 echo "=== campaign complete" | tee -a nets/campaign-logs/campaign.log
