@@ -23,7 +23,7 @@ from os.path import join
 
 import numpy as np
 
-from .synth import make_synthetic, make_synthetic_tiered
+from .synth import TIERED_V2, make_synthetic, make_synthetic_tiered
 
 MNIST_URL = "http://www.cs.nyu.edu/~roweis/data/mnist_all.mat"
 CIFAR10_URL = "https://www.cs.toronto.edu/~kriz/cifar-10-matlab.tar.gz"
@@ -171,12 +171,16 @@ def make_synthetic_archives(data_dir="data", small=False):
         # process (PYTHONHASHSEED) and would silently change the archives
         # between prep-data runs.
         seed = zlib.crc32(name.encode()) % (2 ** 31)
-        if name in ("synth.npz", "hybrid.npz") and not small:
+        if name != "mnist.npz" and not small:
             # Tiered easy/hard stand-in (hybrid-like): accuracy depends on
-            # depth, so acc-eff curves show the reference's tradeoff shape.
+            # depth, so acc-eff curves show the reference's tradeoff shape,
+            # and (cifar-2/5/10) dataset complexity scales with the number
+            # of hard classes. V2 hardness: the tradeoff survives the full
+            # 80k-iter budget (synth.py:TIERED_V2). MNIST stays easy, like
+            # the real thing.
             arch = make_synthetic_tiered(
                 n_tr=50000, n_ts=2000, h=32, w=32, c=3,
-                n_cls=spec["n_cls"], seed=seed)
+                n_cls=spec["n_cls"], seed=seed, **TIERED_V2)
         else:
             arch = make_synthetic(h=32, w=32, c=3, seed=seed, **spec)
         if name == "mnist.npz":

@@ -33,8 +33,17 @@ def make_synthetic(n_tr=512, n_ts=256, h=32, w=32, c=3, n_cls=10, seed=0):
             "m_sym": m_sym}
 
 
+# Hardness that keeps the depth/accuracy tradeoff alive at the reference's
+# FULL 80k-iter budget (measured, v5e: depth-1 SR 23.8% test err vs depth-8
+# 8.2%): small low-contrast motifs among many near-duplicate distractors.
+# The v1 defaults below saturate (all depths reach 0% err) by 80k iters.
+TIERED_V2 = dict(ms=6, motif_alpha=0.35, n_distr=40, n_stamp=6,
+                 distr_corr=0.7)
+
+
 def make_synthetic_tiered(n_tr=50000, n_ts=2000, h=32, w=32, c=3,
-                          n_cls=10, seed=0):
+                          n_cls=10, seed=0, ms=8, motif_alpha=0.55,
+                          n_distr=12, n_stamp=3, distr_corr=0.0):
     """Two-population stand-in for the paper's hybrid MNIST+CIFAR dataset
     (reference scripts/prep-data:140-192): half the classes are EASY
     (global prototype + mild noise -- separable by a shallow head, like
@@ -47,19 +56,29 @@ def make_synthetic_tiered(n_tr=50000, n_ts=2000, h=32, w=32, c=3,
     tradeoff shape instead of saturating at 1.0, and dynamic routing has a
     real easy/hard split to exploit (early exit on easy classes, deep
     routes on hard ones). Same `.npz` schema; m_sym marks the hard half
-    flip-symmetric like the hybrid's `[0]*5 + [1]*5` mask."""
+    flip-symmetric like the hybrid's `[0]*5 + [1]*5` mask.
+
+    Hardness knobs (defaults = the original v1 tier, which a depth-1 net
+    saturates at the full 80k-iter budget): `ms`/`motif_alpha` size and
+    contrast of the class motif; `n_distr`/`n_stamp` distractor pool and
+    per-image count; `distr_corr` in [0, 1) makes each distractor a
+    perturbed near-duplicate of a class motif, so identification requires
+    fine discrimination rather than coarse template detection."""
     rng = np.random.RandomState(seed)
     n_easy = n_cls // 2
     n_hard = n_cls - n_easy
     protos = rng.rand(n_easy, h, w, c).astype(np.float32)
     common = rng.rand(h, w, c).astype(np.float32)
-    ms = 8  # motif support
     motifs = rng.rand(n_hard, ms, ms, c).astype(np.float32)
     # Distractor patches with the same statistics as motifs: detection of
     # "some odd patch" is not enough, the net must IDENTIFY which of the
-    # n_hard motifs is present among look-alikes.
-    n_distr = 12
+    # n_hard motifs is present among look-alikes. With distr_corr > 0 each
+    # look-alike is a noisy copy of a real motif (corrupted twins).
     distractors = rng.rand(n_distr, ms, ms, c).astype(np.float32)
+    if distr_corr > 0.0:
+        src = motifs[rng.randint(0, n_hard, n_distr)]
+        distractors = (distr_corr * src
+                       + (1.0 - distr_corr) * distractors).astype(np.float32)
 
     def stamp(img, patch, u, v, a):
         img[u:u + ms, v:v + ms] = (a * patch
@@ -77,13 +96,13 @@ def make_synthetic_tiered(n_tr=50000, n_ts=2000, h=32, w=32, c=3,
             k = ys[i] - n_easy
             img = (0.55 * common
                    + 0.45 * rng.rand(h, w, c).astype(np.float32))
-            for d in rng.choice(n_distr, 3, replace=False):
+            for d in rng.choice(n_distr, n_stamp, replace=False):
                 stamp(img, distractors[d], rng.randint(0, h - ms + 1),
-                      rng.randint(0, w - ms + 1), 0.55)
+                      rng.randint(0, w - ms + 1), motif_alpha)
             # Class motif stamped LAST (never fully occluded), moderate
             # contrast.
             stamp(img, motifs[k], rng.randint(0, h - ms + 1),
-                  rng.randint(0, w - ms + 1), 0.55)
+                  rng.randint(0, w - ms + 1), motif_alpha)
             x[i] = img
         y = np.eye(n_cls, dtype=np.float32)[ys]
         return np.clip(x, 0, 1).astype(np.float32), y

@@ -139,3 +139,23 @@ def test_synthetic_tiered_difficulty_split():
     # values in [0,1], fp32 
     assert a["x0_tr"].dtype == np.float32
     assert a["x0_tr"].min() >= 0 and a["x0_tr"].max() <= 1
+
+
+def test_synthetic_tiered_v2_hardness_knobs():
+    """V2 hardness (synth.TIERED_V2): near-duplicate distractors correlate
+    with class motifs, and the knobs flow through to the stamped images
+    (measured effect: the depth/acc tradeoff survives the full 80k budget;
+    docs/results-r1.md)."""
+    import numpy as np
+    from mpnn_tpu.data.synth import TIERED_V2, make_synthetic_tiered
+
+    a = make_synthetic_tiered(n_tr=400, n_ts=100, n_cls=10, seed=3,
+                              **TIERED_V2)
+    assert a["x0_tr"].shape == (400, 32, 32, 3)
+    assert a["m_sym"].tolist() == [0] * 5 + [1] * 5
+    assert a["x0_tr"].dtype == np.float32
+    assert float(a["x0_tr"].min()) >= 0.0 and float(a["x0_tr"].max()) <= 1.0
+    # Same seed, v1 vs v2 knobs must produce different archives (the knobs
+    # actually reach generation; RNG streams diverge at distractor setup).
+    b = make_synthetic_tiered(n_tr=400, n_ts=100, n_cls=10, seed=3)
+    assert np.abs(a["x0_tr"] - b["x0_tr"]).max() > 0.05
