@@ -202,39 +202,46 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
 
     def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
              k_cpt=None):
-        sample_span = _chunk_sampler(rng, batch_size, x0_tr, y_tr)
-
-        def body(carry, inp):
-            p, state, v = carry
-            t, xb, yb = inp
-            p, state, v, c = step(p, state, v, t, rng, xb, yb, m_sym,
-                                  k_cpt)
-            return (p, state, v), c
-
-        def run_span(carry, t_first, n):
-            xc, yc = sample_span(t_first, n)
-            ts = t_first + jnp.arange(n)
-            return jax.lax.scan(body, carry, (ts, xc, yc))
-
-        carry = (params, state, vel)
-        tile = min(sample_tile, n_steps)
-        n_full, rem = divmod(n_steps, tile)
-        cs_parts = []
-        if n_full:
-            def outer(carry, t_first):
-                return run_span(carry, t_first, tile)
-
-            carry, cs = jax.lax.scan(outer, carry,
-                                     t0 + tile * jnp.arange(n_full))
-            cs_parts.append(cs.reshape(n_full * tile))
-        if rem:
-            carry, cs = run_span(carry, t0 + n_full * tile, rem)
-            cs_parts.append(cs)
-        params, state, vel = carry
-        cs = cs_parts[0] if len(cs_parts) == 1 else jnp.concatenate(cs_parts)
-        return params, state, vel, cs
+        return _tiled_scan_loop(step, batch_size, sample_tile,
+                                (params, state, vel), t0, rng,
+                                x0_tr, y_tr, m_sym, n_steps, k_cpt)
 
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
+
+
+def _tiled_scan_loop(step, batch_size, sample_tile, carry, t0, rng,
+                     x0_tr, y_tr, m_sym, n_steps, k_cpt):
+    """The tiled-sampling lax.scan chain shared by make_train_loop and
+    make_sweep_train_loop: every `sample_tile` steps one bandwidth-bound
+    gather pulls the span's batches, and an inner scan runs `step` over
+    them. Returns (params, state, vel, losses[n_steps, ...])."""
+    sample_span = _chunk_sampler(rng, batch_size, x0_tr, y_tr)
+
+    def body(carry, inp):
+        p, s, v = carry
+        t, xb, yb = inp
+        p, s, v, c = step(p, s, v, t, rng, xb, yb, m_sym, k_cpt)
+        return (p, s, v), c
+
+    def run_span(carry, t_first, n):
+        xc, yc = sample_span(t_first, n)
+        ts = t_first + jnp.arange(n)
+        return jax.lax.scan(body, carry, (ts, xc, yc))
+
+    tile = min(sample_tile, n_steps)
+    n_full, rem = divmod(n_steps, tile)
+    cs_parts = []
+    if n_full:
+        carry, cs = jax.lax.scan(
+            lambda c, t_first: run_span(c, t_first, tile),
+            carry, t0 + tile * jnp.arange(n_full))
+        cs_parts.append(cs.reshape((n_full * tile,) + cs.shape[2:]))
+    if rem:
+        carry, cs = run_span(carry, t0 + n_full * tile, rem)
+        cs_parts.append(cs)
+    params, state, vel = carry
+    cs = cs_parts[0] if len(cs_parts) == 1 else jnp.concatenate(cs_parts)
+    return params, state, vel, cs
 
 
 def stack_trees(trees):
@@ -275,35 +282,9 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
 
     def loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym,
              n_steps, k_cpts):
-        sample_span = _chunk_sampler(rng, batch_size, x0_tr, y_tr)
-
-        def body(carry, inp):
-            p, s, v = carry
-            t, xb, yb = inp
-            p, s, v, c = vstep(p, s, v, t, rng, xb, yb, m_sym, k_cpts)
-            return (p, s, v), c
-
-        def run_span(carry, t_first, n):
-            xc, yc = sample_span(t_first, n)
-            ts = t_first + jnp.arange(n)
-            return jax.lax.scan(body, carry, (ts, xc, yc))
-
-        carry = (params_s, state_s, vel_s)
-        tile = min(sample_tile, n_steps)
-        n_full, rem = divmod(n_steps, tile)
-        cs_parts = []
-        if n_full:
-            carry, cs = jax.lax.scan(
-                lambda c, t_first: run_span(c, t_first, tile),
-                carry, t0 + tile * jnp.arange(n_full))
-            cs_parts.append(cs.reshape((n_full * tile,) + cs.shape[2:]))
-        if rem:
-            carry, cs = run_span(carry, t0 + n_full * tile, rem)
-            cs_parts.append(cs)
-        params_s, state_s, vel_s = carry
-        cs = (cs_parts[0] if len(cs_parts) == 1
-              else jnp.concatenate(cs_parts))
-        return params_s, state_s, vel_s, cs
+        return _tiled_scan_loop(vstep, batch_size, sample_tile,
+                                (params_s, state_s, vel_s), t0, rng,
+                                x0_tr, y_tr, m_sym, n_steps, k_cpts)
 
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
 
@@ -314,13 +295,17 @@ def _eval_batch_fn(net, batch_size, mesh=None):
     scripts/lib/desc.py:10-22)."""
     eps_rte = float(_hyper(net, "ϵ", 1e-6))
 
-    def eval_batch(params, state, x0b, yb, maskb, tau, k_cpt):
+    def eval_batch(params, state, x0b, yb, maskb, tau, k_cpt, rng=None):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             bs = NamedSharding(mesh, P("data"))
             x0b = jax.lax.with_sharding_constraint(x0b, bs)
             yb = jax.lax.with_sharding_constraint(yb, bs)
-        ctx = Ctx(train=False, rng=None, tau=tau, eps=eps_rte, k_cpt=k_cpt)
+        # rng: per-batch key so non-mode-gated Dropout (λ<1) applies at
+        # eval exactly like the reference's un-gated tf.nn.dropout
+        # (scripts/lib/layer_types.py:212-217); None disables it. All
+        # registry nets use λ=1, where Dropout is the identity either way.
+        ctx = Ctx(train=False, rng=rng, tau=tau, eps=eps_rte, k_cpt=k_cpt)
         recs, _ = net.forward(params, state, x0b, yb, ctx)
         net.route_for_stats(recs, batch_size, ctx)
         stats = state_stats(net, recs, yb)
@@ -333,6 +318,18 @@ def _eval_batch_fn(net, batch_size, mesh=None):
     return eval_batch
 
 
+def _has_active_dropout(net):
+    """True if any (sub)layer is a Dropout with keep-prob < 1. Only then do
+    the evaluators thread per-batch RNG keys (dropout is NOT mode-gated in
+    the reference, scripts/lib/layer_types.py:212-217); gating this keeps
+    the eval HLO -- and the persistent compile cache -- unchanged for the
+    dropout-free registry nets."""
+    from ..ops.layers import Dropout
+    from .net import _all_sublayers
+    return any(isinstance(sub, Dropout) and sub.hypers.λ < 1
+               for l in net.layers for sub in _all_sublayers(l))
+
+
 def make_eval_split_fn(net, batch_size, mesh=None):
     """Build a jitted full-split evaluator.
 
@@ -341,18 +338,30 @@ def make_eval_split_fn(net, batch_size, mesh=None):
     count on the host to get the reference's dataset means,
     scripts/lib/desc.py:10-22). x0s/ys/masks are (n_batches, B, ...) padded
     stacks from Dataset.padded_split."""
-    eval_batch = _eval_batch_fn(net, batch_size, mesh)
+    return _scan_split_fn(_eval_batch_fn(net, batch_size, mesh),
+                          _has_active_dropout(net))
+
+
+def _scan_split_fn(eval_fn, use_rng):
+    """Jitted scan of a per-batch stat-sum function over a padded split,
+    shared by the serial and sweep evaluators. Per-batch rng keys are
+    threaded only when use_rng (see _has_active_dropout)."""
 
     def eval_split(params, state, x0s, ys, masks, tau, k_cpt):
         def body(carry, inp):
-            x0b, yb, mb = inp
-            sums = eval_batch(params, state, x0b, yb, mb, tau, k_cpt)
+            x0b, yb, mb = inp[:3]
+            rng = inp[3] if use_rng else None
+            sums = eval_fn(params, state, x0b, yb, mb, tau, k_cpt, rng)
             return jax.tree.map(jnp.add, carry, sums), None
 
-        shapes = jax.eval_shape(eval_batch, params, state, x0s[0], ys[0],
-                                masks[0], tau, k_cpt)
+        xs = (x0s, ys, masks)
+        if use_rng:
+            xs += (jax.random.split(jax.random.PRNGKey(0), x0s.shape[0]),)
+        shapes = jax.eval_shape(eval_fn, params, state, x0s[0], ys[0],
+                                masks[0], tau, k_cpt,
+                                xs[3][0] if use_rng else None)
         init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        sums, _ = jax.lax.scan(body, init, (x0s, ys, masks))
+        sums, _ = jax.lax.scan(body, init, xs)
         return sums
 
     return jax.jit(eval_split)
@@ -363,22 +372,9 @@ def make_sweep_eval_split_fn(net, batch_size):
     split evaluates ALL sweep members per batch (the serial path pays the
     whole-split sweep once per net). Returned sums carry a leading
     (n_nets,) axis."""
-    eval_batch = _eval_batch_fn(net, batch_size)
-    veval = jax.vmap(eval_batch, in_axes=(0, 0, None, None, None, None, 0))
-
-    def eval_split(params_s, state_s, x0s, ys, masks, tau, k_cpts):
-        def body(carry, inp):
-            x0b, yb, mb = inp
-            sums = veval(params_s, state_s, x0b, yb, mb, tau, k_cpts)
-            return jax.tree.map(jnp.add, carry, sums), None
-
-        shapes = jax.eval_shape(veval, params_s, state_s, x0s[0], ys[0],
-                                masks[0], tau, k_cpts)
-        init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        sums, _ = jax.lax.scan(body, init, (x0s, ys, masks))
-        return sums
-
-    return jax.jit(eval_split)
+    veval = jax.vmap(_eval_batch_fn(net, batch_size),
+                     in_axes=(0, 0, None, None, None, None, 0, None))
+    return _scan_split_fn(veval, _has_active_dropout(net))
 
 
 def init_training(net, seed=0):

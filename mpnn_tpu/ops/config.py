@@ -2,8 +2,11 @@
 
 Parameters are always stored float32 (master weights). When
 `compute_dtype` is set to `jnp.bfloat16`, matmuls/convs cast their inputs and
-weights to bf16 and accumulate in float32 (`preferred_element_type`), which is
-the MXU-optimal configuration on TPU. Default is None (pure float32), which
+weights to bf16 and emit bf16 outputs; the TPU MXU accumulates bf16 products
+in float32 in hardware regardless (no `preferred_element_type` is passed --
+that would change the *output* dtype, forcing the elementwise tail back to
+fp32 and doubling its HBM traffic). Loss reductions and BN moments run in
+fp32 islands (see ops/layers.py). Default is None (pure float32), which
 matches the TF1 reference numerically (the reference trains fp32 throughout).
 """
 

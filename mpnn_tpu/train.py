@@ -117,6 +117,22 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
 
     t0 = time.time()
     t = t_start
+    last_written = t_start if t_start else -1
+
+    def eval_and_write(t):
+        desc = net_desc(net, dataset, params, state,
+                        batch_size=eval_batch_size,
+                        tau=_tau_at(tau_fn, t - 1, net),
+                        k_cpt=k_cpt_eval, eval_split=eval_split)
+        if out_dir is not None:
+            # Periodic checkpoint: the eval cadence doubles as the
+            # resume point (SURVEY.md section 5).
+            _write_epoch_outputs(out_dir, net_index, t, desc, net,
+                                 params, state, vel,
+                                 save_snapshots=save_snapshots,
+                                 verbose=verbose)
+        return desc
+
     while t < n_iter:
         # One scanned chunk per t_log span: the whole span is a single
         # device call (no host round-trips inside).
@@ -128,17 +144,13 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
         if verbose:
             print("  --- Iteration %i ---\r" % t, end="", flush=True)
         if t % t_log == 0:
-            desc = net_desc(net, dataset, params, state,
-                            batch_size=eval_batch_size,
-                            tau=_tau_at(tau_fn, t - 1, net),
-                            k_cpt=k_cpt_eval, eval_split=eval_split)
-            if out_dir is not None:
-                # Periodic checkpoint: the eval cadence doubles as the
-                # resume point (SURVEY.md section 5).
-                _write_epoch_outputs(out_dir, net_index, t, desc, net,
-                                     params, state, vel,
-                                     save_snapshots=save_snapshots,
-                                     verbose=verbose)
+            desc = eval_and_write(t)
+            last_written = t
+    if last_written != n_iter:
+        # n_iter not on a t_log boundary (or a no-eval short run): still
+        # evaluate and persist the final state, like the sweep path and the
+        # reference's end-of-training write (scripts/train-nets:144-157).
+        desc = eval_and_write(n_iter)
     if verbose:
         dt = time.time() - t0
         n_run = n_iter - t_start
@@ -181,14 +193,13 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
     for i in indices:
         net = expt.nets[i](dataset.x0_shape, dataset.y_shape)
         schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau)
-        params, state, vel, _ = train_one_net(
+        # train_one_net writes stats + the final checkpoint itself (at every
+        # t_log boundary and once more at n_iter if that is not a boundary).
+        train_one_net(
             net, dataset, schedules=schedules, tau_fn=expt.tau,
             n_iter=n_iter, t_log=t_log, batch_size=batch_size,
             out_dir=out_dir, net_index=i, seed=seed + i, verbose=verbose,
             resume=resume, profile_dir=profile_dir, mesh=mesh)
-        os.makedirs(out_dir, exist_ok=True)
-        write_net(os.path.join(out_dir, "%.4i.npy" % i), net, params, state,
-                  extra={"vel": vel, "t": n_iter})
 
 
 def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
@@ -214,14 +225,19 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
                  for i in range(n_nets)]
         if all(os.path.exists(p) for p in paths):
             loaded = [read_net(p) for p in paths]
-            ts = {int(ex["t"]) for _, _, _, ex in loaded
-                  if ex is not None and "t" in ex}
-            if len(ts) == 1:
-                t_start = ts.pop()
-                members = [(p, s, ex["vel"]) for _, p, s, ex in loaded]
-                if verbose:
-                    print("  [resuming %s sweep at t=%i]"
-                          % (expt_name, t_start))
+            extras = [ex for _, _, _, ex in loaded]
+            # Resume only if EVERY member checkpoint carries optimizer
+            # state and they all agree on the step (a reference-schema
+            # checkpoint without `extra` cannot seed the sweep).
+            if all(ex is not None and "vel" in ex and "t" in ex
+                   for ex in extras):
+                ts = {int(ex["t"]) for ex in extras}
+                if len(ts) == 1:
+                    t_start = ts.pop()
+                    members = [(p, s, ex["vel"]) for _, p, s, ex in loaded]
+                    if verbose:
+                        print("  [resuming %s sweep at t=%i]"
+                              % (expt_name, t_start))
     if members is None:
         members = [init_training(net, seed + i) for i in range(n_nets)]
     params_s = stack_trees([m[0] for m in members])
@@ -275,35 +291,55 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
 
 
 def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,
-                              data_root=".", out_root="nets", seed=0,
-                              verbose=True):
+                              t_log=None, data_root=".", out_root="nets",
+                              seed=0, verbose=True, resume=False):
     """Train one adaptive (dyn_k_cpt) net, then evaluate it once per k_cpt
     value writing one stats file each
-    (reference scripts/train-adaptive-nets:89-107)."""
+    (reference scripts/train-adaptive-nets:89-107).
+
+    Like the reference, no mid-run evals -- but the net.npy checkpoint IS
+    written at every t_log boundary (with optimizer state + step) so a
+    crashed 80k-iter run resumes instead of restarting (SURVEY.md section 5;
+    the reference only writes once, at the very end)."""
     expt = cfg.make_adaptive_experiments()[expt_name]
     dataset = Dataset(os.path.join(data_root, expt.dataset))
     n_iter = n_iter or cfg.n_iter
     batch_size = batch_size or cfg.batch_size
     out_dir = os.path.join(out_root, expt_name)
+    ckpt_path = os.path.join(out_dir, "net.npy")
 
     net = expt.net(dataset.x0_shape, dataset.y_shape)
     schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau,
                           k_cpt_sample=cfg.k_cpts)
-    params, state, vel = init_training(net, seed)
+    params = None
+    t_start = 0
+    if resume and os.path.exists(ckpt_path):
+        from .utils.serdes import read_net
+        _, params, state, extra = read_net(ckpt_path)
+        if extra is not None and "vel" in extra and "t" in extra:
+            vel, t_start = extra["vel"], int(extra["t"])
+            if verbose:
+                print("  [resuming %s at t=%i]" % (ckpt_path, t_start))
+        else:
+            params = None
+    if params is None:
+        params, state, vel = init_training(net, seed)
     loop = make_train_loop(net, batch_size, schedules)
     x0_tr, y_tr, m_sym = dataset.train_arrays
     rng = jax.random.PRNGKey(seed + 1)
-    chunk = min(n_iter, cfg.t_log)
-    t = 0
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = min(n_iter, t_log or cfg.t_log)
+    t = t_start
     while t < n_iter:
-        n_chunk = min(chunk, n_iter - t)
+        n_chunk = min(chunk - (t % chunk), n_iter - t)
         params, state, vel, _ = loop(params, state, vel, t, rng,
                                      x0_tr, y_tr, m_sym, n_chunk)
         t += n_chunk
         if verbose:
             print("  --- Iteration %i ---\r" % t, end="", flush=True)
-
-    os.makedirs(out_dir, exist_ok=True)
+        if t < n_iter:
+            write_net(ckpt_path, net, params, state,
+                      extra={"vel": vel, "t": t})
     eval_split = make_eval_split_fn(net, batch_size)
     tau_final = _tau_at(expt.tau, n_iter - 1, net)
     for i, k_cpt in enumerate(cfg.k_cpts):

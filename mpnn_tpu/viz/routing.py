@@ -18,14 +18,17 @@ from .loading import load_snapshots, chain_stop_mass  # noqa: E402
 
 
 def stop_mass_history(nets_dir, expt, net_i=0, max_depth=8):
-    """(n_epochs, max_depth) stopping-mass matrix, deepest layer first
-    (reference get_p_ev, make-routing-hists:14-28)."""
+    """(n_epochs, max_depth) stopping-mass matrix, epochs in training order,
+    depth index 0 = first exit (reference get_p_ev, make-routing-hists:14-28;
+    the reference reverses its epoch axis only because it plots epochs on y
+    with imshow's default origin='upper' -- our transposed epoch-on-x,
+    origin='lower' layout wants natural order)."""
     snaps = load_snapshots(nets_dir, expt, net_i)
     h = np.zeros((len(snaps), max_depth))
     for i, desc in enumerate(snaps):
         masses = chain_stop_mass(desc, max_depth=max_depth)
         h[i, :len(masses)] = masses
-    return h[::-1]
+    return h
 
 
 def plot_routing_hists(nets_dir, expt, net_indices=(0, 1, 2, 3),

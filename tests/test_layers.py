@@ -211,3 +211,25 @@ def test_dropout_keep1_identity_and_scaling():
                                                  rng=jax.random.PRNGKey(0)))
     vals = np.unique(np.asarray(out2))
     assert set(vals).issubset({0.0, 2.0})
+    # NOT mode-gated (reference layer_types.py:212-217): applies at eval
+    # too whenever the evaluator supplies an rng.
+    (out3, _, _), _ = _init_apply(d2, x, ctx=Ctx(train=False,
+                                                 rng=jax.random.PRNGKey(1)))
+    assert set(np.unique(np.asarray(out3))).issubset({0.0, 2.0})
+    assert 0.0 in np.asarray(out3)
+
+
+def test_eval_split_threads_rng_only_for_dropout_nets():
+    """The evaluators pass per-batch keys iff the net has active Dropout
+    (keeps the eval HLO — and compile cache — unchanged otherwise)."""
+    from mpnn_tpu.models.steps import _has_active_dropout
+    from mpnn_tpu.models.sr import SRNet
+    from mpnn_tpu.ops.layers import LinTrans, Softmax, CrossEntropyError
+
+    def make(drop_lam):
+        root = Chain(comps=[Dropout(λ=drop_lam), LinTrans(n_chan=4),
+                            Softmax(), CrossEntropyError()])
+        return SRNet(root=root, x0_shape=(6,), y_shape=(4,))
+
+    assert not _has_active_dropout(make(1))
+    assert _has_active_dropout(make(0.5))

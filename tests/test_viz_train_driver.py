@@ -79,6 +79,10 @@ def test_figures_from_driver_outputs(trained_dir):
     assert m.shape[0] == 3  # three snapshots (5, 10, 15)
     # Each epoch's stopping mass sums to ~1 over reachable depths.
     np.testing.assert_allclose(m.sum(axis=1), 1.0, rtol=1e-4)
+    # Rows are in TRAINING order: row 0 = the earliest snapshot.
+    snaps = loading.load_snapshots(nets_dir, "synth-ac", 0)
+    first = loading.chain_stop_mass(snaps[0])
+    np.testing.assert_allclose(m[0, :len(first)], first, rtol=1e-6)
 
     frames = nld.render_video_frames(
         loading.load_snapshots(nets_dir, "synth-ac", 0),
@@ -141,6 +145,45 @@ def test_vmap_sweep_final_write_and_resume(tmp_path, synth_npz_dir):
                      vmap_sweep=True, resume=True)
     _, _, _, extra = read_net(f"{out}/synth-ac/0000.npy")
     assert int(extra["t"]) == 7
+
+
+def test_serial_final_write_off_grid(tmp_path, synth_npz_dir):
+    """The SERIAL driver also writes stats + checkpoint when n_iter is not
+    a t_log multiple (code-review finding: short runs previously produced
+    no stats files at all, breaking every figure CLI)."""
+    from mpnn_tpu.train import train_experiment
+    from mpnn_tpu.utils.serdes import read_net
+
+    out = str(tmp_path / "nets")
+    train_experiment("synth-ac", n_iter=5, t_log=4, batch_size=8,
+                     net_indices=[0], data_root=synth_npz_dir,
+                     out_root=out, verbose=False)
+    d = np.load(f"{out}/synth-ac/0000-stats.npy", allow_pickle=True)[()]
+    assert d["type"] == "ActorNet"
+    _, _, _, extra = read_net(f"{out}/synth-ac/0000.npy")
+    assert int(extra["t"]) == 5
+
+
+def test_adaptive_checkpoint_resume(tmp_path, synth_npz_dir):
+    """The adaptive driver checkpoints at every t_log boundary and resumes
+    from net.npy (code-review finding: an 80k-iter adaptive run previously
+    lost everything on a crash)."""
+    from mpnn_tpu.train import train_adaptive_experiment
+    from mpnn_tpu.utils.serdes import read_net
+
+    out = str(tmp_path / "nets")
+    train_adaptive_experiment("synth-ac-dynkcpt", n_iter=4, t_log=4,
+                              batch_size=8, data_root=synth_npz_dir,
+                              out_root=out, verbose=False)
+    ckpt = f"{out}/synth-ac-dynkcpt/net.npy"
+    _, _, _, extra = read_net(ckpt)
+    assert int(extra["t"]) == 4
+    # Resume: continue to 6 iters from the t=4 checkpoint.
+    train_adaptive_experiment("synth-ac-dynkcpt", n_iter=6, t_log=4,
+                              batch_size=8, data_root=synth_npz_dir,
+                              out_root=out, verbose=False, resume=True)
+    _, _, _, extra = read_net(ckpt)
+    assert int(extra["t"]) == 6
 
 
 def _leaf_desc(name="LogReg"):

@@ -35,8 +35,8 @@ run() {
 run synth-ac         ./scripts/train-nets synth-ac --resume --vmap-sweep --precision bf16 --analytic-l2
 run synth-cr         ./scripts/train-nets synth-cr --resume --vmap-sweep --precision bf16 --analytic-l2
 run synth-sr         ./scripts/train-nets synth-sr --resume --precision bf16 --analytic-l2
-run synth-ac-dynkcpt ./scripts/train-adaptive-nets synth-ac-dynkcpt --precision bf16
-run synth-ac-tree-dynkcpt ./scripts/train-adaptive-nets synth-ac-tree-dynkcpt --precision bf16
+run synth-ac-dynkcpt ./scripts/train-adaptive-nets synth-ac-dynkcpt --resume --precision bf16
+run synth-ac-tree-dynkcpt ./scripts/train-adaptive-nets synth-ac-tree-dynkcpt --resume --precision bf16
 
 # Part 2: the 9-experiment hybrid ablation suite, 10k iters.
 HY="--n-iter 10000 --precision bf16 --analytic-l2"
