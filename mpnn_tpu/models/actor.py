@@ -25,9 +25,6 @@ class ActorNet(DynRoutedMixin, Net):
 
     uses_expectation_optimizer = True
 
-    def route_for_stats(self, recs, batch_size, ctx):
-        return propagate(self, recs, batch_size, ctx.tau, ctx.eps)
-
     def loss(self, recs, batch_size, ctx):
         propagate(self, recs, batch_size, ctx.tau, ctx.eps)
         h = self.hypers

@@ -36,9 +36,6 @@ class CriticNet(DynRoutedMixin, Net):
 
     uses_expectation_optimizer = True
 
-    def route_for_stats(self, recs, batch_size, ctx):
-        return propagate(self, recs, batch_size, ctx.tau, ctx.eps)
-
     def _cost_to_go(self, recs, ctx):
         """Post-order c_ev / c_opt / c_cre computation."""
         h = self.hypers

@@ -58,15 +58,17 @@ def tree_l2_decay(net, params, grads, p_tr_by_uid):
     def layer_mod(layer, p, g, coeff):
         nonlocal value
         if layer.comps:
-            return {"comps": [layer_mod(c, pc, gc, coeff)
-                              for c, pc, gc in
-                              zip(layer.comps, p["comps"], g["comps"])]}
+            out = dict(g)
+            out["comps"] = [layer_mod(c, pc, gc, coeff)
+                            for c, pc, gc in
+                            zip(layer.comps, p["comps"], g["comps"])]
+            return out
         specs = layer.l2_specs()
         out = dict(g)
         for name, (k2, weq) in specs.items():
             if k2 == 0.0:
                 continue
-            weqa = (jnp.float32(0.0) if weq is None or np.ndim(weq) == 0
+            weqa = (jnp.float32(0.0) if weq is None
                     else jnp.asarray(weq, jnp.float32))
             diff = p[name] - weqa
             out[name] = g[name] + coeff * (2.0 * k2) * diff

@@ -17,6 +17,12 @@ def _prod(shape):
 class DynRoutedMixin:
     """Mixin for Net subclasses with routers and optional dyn_k_cpt."""
 
+    def route_for_stats(self, recs, batch_size, ctx):
+        """Fill p_tr/p_ev on every Rec for the stats pass (shared by actor
+        and critic nets; the loss paths call propagate themselves)."""
+        from .routing import propagate
+        return propagate(self, recs, batch_size, ctx.tau, ctx.eps)
+
     def _router_in_shape(self, node):
         if not self.hypers.dyn_k_cpt:
             return node.out_shape

@@ -40,6 +40,12 @@ def propagate(net, recs, batch_size, tau, eps):
 
     Root starts at probability 1 (reference scripts/lib/net_types.py:166).
     """
+    if not eps > 0:
+        # The eps-mixture divides by the running p_tr, whose positive floor
+        # is eps * n_leaves(sink)/n_leaves(root); with eps=0 a sharp-tau
+        # softmax underflow makes that 0/0 = NaN with no error. Fail loudly
+        # instead (eps is a static hyper, so this costs nothing traced).
+        raise ValueError("routing eps must be > 0 (got %r)" % (eps,))
     ones = jnp.ones((batch_size,), jnp.float32)
 
     def visit(node, p_tr, p_ev):

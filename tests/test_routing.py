@@ -4,6 +4,7 @@ and the critic cost-to-go recursion on a hand-computable tree
 (reference :232-243)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -130,3 +131,18 @@ def test_critic_use_cls_err():
     np.testing.assert_allclose(np.asarray(recs[leafA].c_ev),
                                1.0 - np.asarray(recs[leafA].delta_cor),
                                atol=1e-6)
+
+
+def test_propagate_rejects_nonpositive_eps():
+    """eps=0 would let a sharp-tau softmax underflow produce 0/0 = NaN in
+    the eps-mixture division; propagate fails loudly instead."""
+    net = _tiny_switch_net(ActorNet, k_cpt=0.0)
+    B = 2
+    x0 = jnp.asarray(np.random.RandomState(0).rand(B, 4).astype(np.float32))
+    y = jnp.asarray(np.eye(3, dtype=np.float32)[np.zeros(B, int)])
+    params, state = net.init(jax.random.PRNGKey(0))
+    ctx = Ctx(train=True, tau=1.0, eps=0.0, k_cpt=0.0)
+    recs, _ = net.forward(params, state, x0, y, ctx)
+    from mpnn_tpu.models.routing import propagate
+    with pytest.raises(ValueError, match="eps"):
+        propagate(net, recs, B, ctx.tau, ctx.eps)
