@@ -34,7 +34,7 @@ def _curve(ax, mocs, errs, **kw):
             marker="o", ms=3, **kw)
 
 
-def plot_strategy_comparison(logs, fig_dir="figures"):
+def plot_strategy_comparison(logs, fig_dir="figures", fmt="pdf"):
     """SR baseline on the left; each dynamic-routing strategy vs SR in a
     grid of panels (reference make-acc-eff-plots:50-175)."""
     mocs, errs = acc_eff_points(logs)
@@ -65,13 +65,13 @@ def plot_strategy_comparison(logs, fig_dir="figures"):
         ax.tick_params(labelsize=7)
     fig.tight_layout()
     makedirs(fig_dir, exist_ok=True)
-    path = join(fig_dir, "acc-eff-strategies.pdf")
+    path = join(fig_dir, "acc-eff-strategies." + fmt)
     fig.savefig(path)
     plt.close(fig)
     return path
 
 
-def plot_complexity_comparison(logs, fig_dir="figures"):
+def plot_complexity_comparison(logs, fig_dir="figures", fmt="pdf"):
     """SR vs AC across CIFAR-2/5/10 (reference make-acc-eff-plots:181-199)."""
     mocs, errs = acc_eff_points(logs)
     present = [d for d in COMPLEXITY_SETS
@@ -92,13 +92,13 @@ def plot_complexity_comparison(logs, fig_dir="figures"):
     axes[0][0].legend(fontsize=8)
     fig.tight_layout()
     makedirs(fig_dir, exist_ok=True)
-    path = join(fig_dir, "acc-eff-complexity.pdf")
+    path = join(fig_dir, "acc-eff-complexity." + fmt)
     fig.savefig(path)
     plt.close(fig)
     return path
 
 
-def plot_width_scaling(logs, fig_dir="figures"):
+def plot_width_scaling(logs, fig_dir="figures", fmt="pdf"):
     """Width-scaled variants (cifar10-{sr,ac}-{fat,fatter}) when present
     (reference make-acc-eff-plots:205-236)."""
     mocs, errs = acc_eff_points(logs)
@@ -119,13 +119,13 @@ def plot_width_scaling(logs, fig_dir="figures"):
     axes[0][0].set_ylabel("test error")
     fig.tight_layout()
     makedirs(fig_dir, exist_ok=True)
-    path = join(fig_dir, "acc-eff-width.pdf")
+    path = join(fig_dir, "acc-eff-width." + fmt)
     fig.savefig(path)
     plt.close(fig)
     return path
 
 
-def plot_all_experiments(logs, fig_dir="figures"):
+def plot_all_experiments(logs, fig_dir="figures", fmt="pdf"):
     """Fallback overview: every experiment's (moc, err) curve on one axis
     (useful for partial or non-canonical runs, e.g. the synth smoke sets)."""
     mocs, errs = acc_eff_points(logs)
@@ -140,7 +140,7 @@ def plot_all_experiments(logs, fig_dir="figures"):
     ax.legend(fontsize=7)
     fig.tight_layout()
     makedirs(fig_dir, exist_ok=True)
-    path = join(fig_dir, "acc-eff-all.pdf")
+    path = join(fig_dir, "acc-eff-all." + fmt)
     fig.savefig(path)
     plt.close(fig)
     return path
