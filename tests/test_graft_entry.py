@@ -19,3 +19,27 @@ def test_entry_lowers_under_jit():
 
 def test_dryrun_multichip_two_devices():
     graft.dryrun_multichip(2)
+
+
+def test_dryrun_multichip_driver_invocation():
+    """Reproduce the driver's exact invocation: fresh process, NO conftest
+    (so nothing pre-forces the CPU platform), axon plugin on the path, 8
+    virtual CPU devices via XLA_FLAGS. Round 1 failed exactly here
+    (MULTICHIP_r01.json rc=1): eager ops inside dryrun_multichip dispatched
+    to the half-initialized axon TPU backend. dryrun_multichip must force
+    the CPU platform before any backend touch."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # driver doesn't set it; axon ignores it
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"driver-style dryrun_multichip(8) failed:\n{proc.stderr[-4000:]}")
+    assert "OK" in proc.stdout
