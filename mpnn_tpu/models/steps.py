@@ -103,6 +103,14 @@ def _step_pieces(net, batch_size, schedules, r_shift, mesh, presampled):
                 for l in net.layers if recs[l].p_tr is not None}
             return c_tot, (new_state, p_tr_by_uid)
 
+        if ops_config.remat_policy is not None:
+            # Recompute activations in backward instead of storing them
+            # (ops.config.set_remat; the step is HBM-bandwidth-bound).
+            if ops_config.remat_policy == "dots":
+                loss_fn = jax.checkpoint(
+                    loss_fn, policy=jax.checkpoint_policies.dots_saveable)
+            else:
+                loss_fn = jax.checkpoint(loss_fn)
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     return batch_ctx, loss_and_grads

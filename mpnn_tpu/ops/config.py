@@ -45,6 +45,24 @@ def set_use_pallas(flag, interpret=False):
     pallas_interpret = interpret
 
 
+# Activation rematerialization for the train step's backward pass. The
+# b128 sweep step is HBM-bandwidth-bound with the MXU mostly idle
+# (CLAUDE.md perf facts), so recomputing activations in backward instead of
+# storing+reloading them trades idle FLOPs for the bottleneck resource.
+#   None   -- store all activations (XLA default)
+#   'full' -- jax.checkpoint with nothing saveable: backward re-runs the
+#             forward; minimal activation residuals
+#   'dots' -- dots_saveable: matmul/conv outputs saved, elementwise
+#             (BN/relu/pool masks) recomputed
+remat_policy = None
+
+
+def set_remat(policy):
+    global remat_policy
+    assert policy in (None, "full", "dots"), policy
+    remat_policy = policy
+
+
 def set_compute_dtype(dtype):
     """Set the global compute dtype (None, jnp.float32, or jnp.bfloat16)."""
     global compute_dtype
