@@ -11,13 +11,17 @@ per net, full augmentation, routing, TALR and momentum per step.
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The driver's north star is >=20x the TF1 reference's images/sec/chip. We
-take 1250 img/s as the reference estimate (batch 128 at ~10 steps/s for a
-TF1 feed_dict + per-image-Python-augmentation pipeline on a contemporary
-GPU -- the pipeline, not the GPU, was the bottleneck; SURVEY.md section
-3.1; training the sweep serially keeps the same instantaneous rate) and
-report value / (20 * 1250), so vs_baseline >= 1.0 means the 20x north-star
-target is met.
+The driver's north star is >=20x the TF1 reference's images/sec/chip. The
+denominator is MEASURED on this same host+chip by tools/ref_proxy_bench.py
+-- a faithful proxy of the reference's hot loop (per-image host Python
+augmentation, per-step host->device feed, single-net fp32
+highest-precision step, blocking every iteration; reference
+scripts/train-nets:137-143 + scripts/lib/data.py:24-34) -- and read from
+REF_MEASURED.json (672.4 img/s measured 2026-08-17; the sweep trains
+serially in the reference, so its instantaneous rate IS the single-net
+rate). We report value / (20 * ref), so vs_baseline >= 1.0 means the 20x
+north-star target is met. Falls back to the round-1 estimate of 1250
+img/s only if REF_MEASURED.json is missing.
 
 Measured v5e single-chip reference points: single-net loop 182k img/s
 (0.70 ms/step); vmapped 8-net sweep 319k img/s aggregate (3.2 ms/step,
@@ -25,12 +29,24 @@ HBM-bandwidth-bound; docs/results-r1.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-REF_IMAGES_PER_SEC = 1250.0   # estimated TF1 reference throughput (see above)
 NORTH_STAR_MULT = 20.0
+
+
+def ref_images_per_sec():
+    """Measured reference-pipeline throughput (tools/ref_proxy_bench.py);
+    falls back to the round-1 estimate if the measurement file is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "REF_MEASURED.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["images_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return 1250.0
 
 
 def main():
@@ -95,7 +111,7 @@ def main():
                   "(8 nets x 8-deep actor chain, b128/net, vmapped)",
         "value": round(value, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(value / (NORTH_STAR_MULT * REF_IMAGES_PER_SEC),
+        "vs_baseline": round(value / (NORTH_STAR_MULT * ref_images_per_sec()),
                              3),
     }))
 

@@ -41,6 +41,15 @@ class Dataset:
         self.y_tr = np.asarray(archive["y_tr"], np.float32)
         self.y_ts = np.asarray(archive["y_ts"], np.float32)
         self.m_sym = np.asarray(archive["m_sym"], np.float32)
+        # Machine-readable dataset provenance: {"synthetic": bool, ...} for
+        # archives written by this repo's prep; None for pre-provenance or
+        # reference-written archives. Surfaced into nets/<expt>/MANIFEST.json
+        # so synthetic stand-in results are never mistaken for real-dataset
+        # results (VERDICT r1 weak #4).
+        self.provenance = archive.get("provenance", None)
+        if self.provenance is not None:
+            self.provenance = dict(self.provenance)
+        self.path = path_or_dict if isinstance(path_or_dict, str) else None
         self._dtype = dtype
         self._device_arrays = {}
         self._padded_cache = {}

@@ -191,35 +191,57 @@ def make_synthetic_archives(data_dir="data", small=False):
     return sorted(specs)
 
 
-def download_and_prepare(data_dir="data"):
-    """Full reference pipeline: download MNIST + CIFAR-10, write all five
-    archives (requires network + scipy.io)."""
+def prepare_from_files(data_dir, mnist_mat_path, cifar_tgz_path,
+                       verbose=True):
+    """Untar/loadmat/format/combine stage of the reference pipeline
+    (reference scripts/prep-data:20-136,140-192), separated from the
+    network fetch so it runs -- and is tested -- offline against fixture
+    files with the real on-disk formats (scipy .mat archives, the CIFAR
+    batches tarball). Writes all five `.npz` archives."""
     from tempfile import TemporaryDirectory
-    from urllib.request import urlretrieve
     from shutil import unpack_archive
     import scipy.io as io
 
     os.makedirs(data_dir, exist_ok=True)
-    with TemporaryDirectory() as tmp:
-        print("Downloading MNIST...", flush=True)
-        urlretrieve(MNIST_URL, join(tmp, "mnist.mat"))
-        mnist = format_mnist(io.loadmat(join(tmp, "mnist.mat")))
-        save_archive(join(data_dir, "mnist.npz"), mnist)
+    mnist = format_mnist(io.loadmat(mnist_mat_path))
+    mnist["provenance"] = {"synthetic": False, "source": MNIST_URL}
+    save_archive(join(data_dir, "mnist.npz"), mnist)
 
-        print("Downloading CIFAR-10...", flush=True)
-        urlretrieve(CIFAR10_URL, join(tmp, "cifar10.tar.gz"))
-        unpack_archive(join(tmp, "cifar10.tar.gz"), tmp)
+    with TemporaryDirectory() as tmp:
+        unpack_archive(cifar_tgz_path, tmp, format="gztar")
         base = join(tmp, "cifar-10-batches-mat")
         tr = [io.loadmat(join(base, "data_batch_%i.mat" % i))
               for i in range(1, 6)]
         ts = [io.loadmat(join(base, "test_batch.mat"))]
-        cifar10 = format_cifar10(tr, ts)
-        save_archive(join(data_dir, "cifar-10.npz"), cifar10)
-        save_archive(join(data_dir, "cifar-2.npz"),
-                     project_superclasses(cifar10, CIFAR2_CLASSES))
-        save_archive(join(data_dir, "cifar-5.npz"),
-                     project_superclasses(cifar10, CIFAR5_CLASSES))
+    cifar10 = format_cifar10(tr, ts)
+    cifar10["provenance"] = {"synthetic": False, "source": CIFAR10_URL}
+    save_archive(join(data_dir, "cifar-10.npz"), cifar10)
+    for name, classes in (("cifar-2.npz", CIFAR2_CLASSES),
+                          ("cifar-5.npz", CIFAR5_CLASSES)):
+        arch = project_superclasses(cifar10, classes)
+        arch["provenance"] = {"synthetic": False, "source": CIFAR10_URL}
+        save_archive(join(data_dir, name), arch)
 
+    if verbose:
         print("Combining MNIST and CIFAR-10...", flush=True)
-        save_archive(join(data_dir, "hybrid.npz"),
-                     make_hybrid(mnist, cifar10, seed=0))
+    hybrid = make_hybrid(mnist, cifar10, seed=0)
+    hybrid["provenance"] = {"synthetic": False,
+                            "source": [MNIST_URL, CIFAR10_URL]}
+    save_archive(join(data_dir, "hybrid.npz"), hybrid)
+    return sorted(["mnist.npz", "cifar-10.npz", "cifar-2.npz",
+                   "cifar-5.npz", "hybrid.npz"])
+
+
+def download_and_prepare(data_dir="data"):
+    """Full reference pipeline: download MNIST + CIFAR-10, then format via
+    prepare_from_files (requires network + scipy.io)."""
+    from tempfile import TemporaryDirectory
+    from urllib.request import urlretrieve
+
+    with TemporaryDirectory() as tmp:
+        print("Downloading MNIST...", flush=True)
+        urlretrieve(MNIST_URL, join(tmp, "mnist.mat"))
+        print("Downloading CIFAR-10...", flush=True)
+        urlretrieve(CIFAR10_URL, join(tmp, "cifar10.tar.gz"))
+        return prepare_from_files(data_dir, join(tmp, "mnist.mat"),
+                                  join(tmp, "cifar10.tar.gz"))

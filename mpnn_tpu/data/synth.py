@@ -30,7 +30,9 @@ def make_synthetic(n_tr=512, n_ts=256, h=32, w=32, c=3, n_cls=10, seed=0):
     m_sym = np.array([0] * (n_cls // 2) + [1] * (n_cls - n_cls // 2),
                      np.float32)
     return {"x0_tr": x0_tr, "x0_ts": x0_ts, "y_tr": y_tr, "y_ts": y_ts,
-            "m_sym": m_sym}
+            "m_sym": m_sym,
+            "provenance": {"synthetic": True, "generator": "make_synthetic",
+                           "seed": int(seed)}}
 
 
 # Hardness that keeps the depth/accuracy tradeoff alive at the reference's
@@ -111,7 +113,10 @@ def make_synthetic_tiered(n_tr=50000, n_ts=2000, h=32, w=32, c=3,
     x0_ts, y_ts = make_split(n_ts)
     m_sym = np.array([0] * n_easy + [1] * n_hard, np.float32)
     return {"x0_tr": x0_tr, "x0_ts": x0_ts, "y_tr": y_tr, "y_ts": y_ts,
-            "m_sym": m_sym}
+            "m_sym": m_sym,
+            "provenance": {"synthetic": True,
+                           "generator": "make_synthetic_tiered",
+                           "seed": int(seed)}}
 
 
 def save_synthetic(path, **kw):

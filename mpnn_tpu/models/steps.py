@@ -264,7 +264,7 @@ def unstack_tree(tree, i):
 
 
 def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
-                          sample_tile=256):
+                          sample_tile=256, mesh=None):
     """Train a whole k_cpt SWEEP of same-architecture nets in one program.
 
     loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym, n_steps,
@@ -280,13 +280,38 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
     All sweep members see the SAME sampled+augmented batch stream (common
     random numbers -- each net still trains on exact iid uniform samples;
     only the cross-net correlation differs from serial training, which the
-    reference never relies on). Inits and k_cpt differ per member."""
+    reference never relies on). Inits and k_cpt differ per member.
+
+    With a ('sweep', 'data') mesh (parallel.make_sweep_mesh), the stacked
+    trees must be placed via parallel.shard_sweep_tree: each net's params,
+    state, velocity, and activations live on one 'sweep' shard (zero
+    cross-net collectives -- the v5e-8 deployment shape is 8 nets on 8
+    chips), and when the mesh has a data axis >1 each per-step batch is
+    additionally split over 'data' (gradient psum over 'data' only).
+    Sweep members must tile the 'sweep' axis. Validated vs the meshless
+    path in tests/test_parallel.py."""
     step = _train_step_body(net, batch_size, schedules, r_shift, None,
                             presampled=True)
     # axes: params, state, vel mapped; t, rng, xb, yb, m_sym shared;
     # k_cpt per-net.
     vstep = jax.vmap(step, in_axes=(0, 0, 0, None, None, None, None, None,
                                     0))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sweep_sh = NamedSharding(mesh, P("sweep"))
+        base_vstep = vstep
+
+        def vstep(p, s, v, t, rng, xb, yb, m_sym, k):
+            # Pin the carried trees to the per-net placement so GSPMD
+            # never gathers a whole net onto one device mid-scan; the
+            # shared batch is split over 'data' (no-op when data=1).
+            p, s, v = (jax.tree.map(
+                lambda a: jax.lax.with_sharding_constraint(a, sweep_sh), t_)
+                for t_ in (p, s, v))
+            bs = NamedSharding(mesh, P("data"))
+            xb = jax.lax.with_sharding_constraint(xb, bs)
+            yb = jax.lax.with_sharding_constraint(yb, bs)
+            return base_vstep(p, s, v, t, rng, xb, yb, m_sym, k)
 
     def loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym,
              n_steps, k_cpts):
@@ -353,9 +378,15 @@ def make_eval_split_fn(net, batch_size, mesh=None):
 def _scan_split_fn(eval_fn, use_rng):
     """Jitted scan of a per-batch stat-sum function over a padded split,
     shared by the serial and sweep evaluators. Per-batch rng keys are
-    threaded only when use_rng (see _has_active_dropout)."""
+    threaded only when use_rng (see _has_active_dropout); `eval_key` seeds
+    them -- callers pass fold_in(seed_key, t) so every eval draws FRESH
+    dropout masks (the reference samples fresh tf.nn.dropout noise per
+    Session.run) while staying deterministic per run. For dropout-free nets
+    eval_key is ignored (a None pytree: the compiled program -- and the
+    persistent compile cache -- is unchanged)."""
 
-    def eval_split(params, state, x0s, ys, masks, tau, k_cpt):
+    def eval_split(params, state, x0s, ys, masks, tau, k_cpt,
+                   eval_key=None):
         def body(carry, inp):
             x0b, yb, mb = inp[:3]
             rng = inp[3] if use_rng else None
@@ -364,7 +395,9 @@ def _scan_split_fn(eval_fn, use_rng):
 
         xs = (x0s, ys, masks)
         if use_rng:
-            xs += (jax.random.split(jax.random.PRNGKey(0), x0s.shape[0]),)
+            key = (eval_key if eval_key is not None
+                   else jax.random.PRNGKey(0))
+            xs += (jax.random.split(key, x0s.shape[0]),)
         shapes = jax.eval_shape(eval_fn, params, state, x0s[0], ys[0],
                                 masks[0], tau, k_cpt,
                                 xs[3][0] if use_rng else None)

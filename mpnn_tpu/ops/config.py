@@ -45,10 +45,12 @@ def set_use_pallas(flag, interpret=False):
     pallas_interpret = interpret
 
 
-# Activation rematerialization for the train step's backward pass. The
-# b128 sweep step is HBM-bandwidth-bound with the MXU mostly idle
-# (CLAUDE.md perf facts), so recomputing activations in backward instead of
-# storing+reloading them trades idle FLOPs for the bottleneck resource.
+# Activation rematerialization for the train step's backward pass.
+# MEASURED AND REFUTED for the flagship sweep workload (tools/tpu_remat.py:
+# none 3286 us/step < dots 3526 < full 4109 on v5e): the bf16 activations'
+# backward reads are not the binding HBM traffic, so recompute only adds
+# work. Keep None here; the knob remains for future (wider/deeper) nets
+# where activation footprints actually dominate.
 #   None   -- store all activations (XLA default)
 #   'full' -- jax.checkpoint with nothing saveable: backward re-runs the
 #             forward; minimal activation residuals

@@ -24,7 +24,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "replicated", "batch_sharding", "shard_params",
-           "replicate_tree"]
+           "replicate_tree", "make_sweep_mesh", "shard_sweep_tree"]
 
 
 def make_mesh(n_data=None, n_model=1, devices=None):
@@ -76,3 +76,26 @@ def shard_params(params, mesh, model_parallel=False, min_chan=64):
 def replicate_tree(tree, mesh):
     return jax.tree.map(
         lambda a: jax.device_put(a, replicated(mesh)), tree)
+
+
+def make_sweep_mesh(n_sweep=None, n_data=1, devices=None):
+    """Build a ('sweep', 'data') mesh for vmapped k_cpt-sweep training.
+
+    The flagship v5e-8 deployment shape: the 8-net sweep axis sharded over
+    chips (one net per chip, ZERO collectives -- each net's forward/backward
+    and its whole optimizer state live on one device), optionally composed
+    with a data axis that splits each net's batch (gradient psum over
+    'data' only). 8 nets on 8 chips => n_sweep=8, n_data=1."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_sweep is None:
+        n_sweep = len(devices) // n_data
+    grid = np.asarray(devices[:n_sweep * n_data]).reshape(n_sweep, n_data)
+    return Mesh(grid, ("sweep", "data"))
+
+
+def shard_sweep_tree(tree, mesh):
+    """Place a stacked sweep pytree (leading axis = sweep member) with the
+    sweep axis sharded over the mesh's 'sweep' axis. GSPMD propagates the
+    per-net placement through the whole vmapped step."""
+    sh = NamedSharding(mesh, P("sweep"))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)

@@ -30,14 +30,18 @@ __all__ = ["net_desc", "render_net_desc", "mean_split_stats",
 
 
 def mean_split_stats(net, eval_split, params, state, dataset, split,
-                     batch_size=128, tau=None, k_cpt=None):
-    """Dataset-mean stats for one split: {stat_key: float | list}."""
+                     batch_size=128, tau=None, k_cpt=None, eval_key=None):
+    """Dataset-mean stats for one split: {stat_key: float | list}.
+
+    eval_key seeds per-batch dropout noise for nets with keep-prob < 1
+    (callers pass fold_in(seed, t) so repeated evals draw fresh masks);
+    ignored -- a leafless None pytree -- for dropout-free nets."""
     x0s, ys, masks, count = dataset.padded_split(split, batch_size)
     if tau is None:
         tau = float(getattr(net.hypers, "τ", 1.0))
     if k_cpt is None:
         k_cpt = getattr(net.hypers, "k_cpt", 0.0)
-    sums = eval_split(params, state, x0s, ys, masks, tau, k_cpt)
+    sums = eval_split(params, state, x0s, ys, masks, tau, k_cpt, eval_key)
     return {k: (np.asarray(v) / count).tolist() for k, v in sums.items()}
 
 
@@ -55,15 +59,15 @@ def _layer_desc(layer, stats_tr, stats_ts):
 
 
 def net_desc(net, dataset, params, state, batch_size=128, tau=None,
-             k_cpt=None, eval_split=None):
+             k_cpt=None, eval_split=None, eval_key=None):
     """Full-network descriptor over both splits
     (reference scripts/lib/desc.py:31-36)."""
     if eval_split is None:
         eval_split = make_eval_split_fn(net, batch_size)
     stats_tr = mean_split_stats(net, eval_split, params, state, dataset,
-                                "tr", batch_size, tau, k_cpt)
+                                "tr", batch_size, tau, k_cpt, eval_key)
     stats_ts = mean_split_stats(net, eval_split, params, state, dataset,
-                                "ts", batch_size, tau, k_cpt)
+                                "ts", batch_size, tau, k_cpt, eval_key)
     net_keys = lambda d: {k[len("net/"):]: v for k, v in d.items()
                           if k.startswith("net/")}
     return {
@@ -75,7 +79,8 @@ def net_desc(net, dataset, params, state, batch_size=128, tau=None,
 
 
 def sweep_net_descs(net, dataset, params_s, state_s, k_cpts, *,
-                    batch_size=128, tau=None, eval_split=None):
+                    batch_size=128, tau=None, eval_split=None,
+                    eval_key=None):
     """Per-net descriptors for a whole k_cpt sweep in ONE vmapped pass per
     split (mpnn_tpu.models.steps.make_sweep_eval_split_fn). Each returned
     dict is schema-identical to net_desc's."""
@@ -89,7 +94,8 @@ def sweep_net_descs(net, dataset, params_s, state_s, k_cpts, *,
     split_means = {}
     for split in ("tr", "ts"):
         x0s, ys, masks, count = dataset.padded_split(split, batch_size)
-        sums = eval_split(params_s, state_s, x0s, ys, masks, tau, k_arr)
+        sums = eval_split(params_s, state_s, x0s, ys, masks, tau, k_arr,
+                          eval_key)
         split_means[split] = {k: np.asarray(v) / count
                               for k, v in sums.items()}
     net_keys = lambda d: {k[len("net/"):]: v for k, v in d.items()

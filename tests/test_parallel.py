@@ -72,6 +72,53 @@ def test_dp_tp_mesh_runs(synth_dataset):
     np.testing.assert_allclose(losses, losses_1d, rtol=1e-3)
 
 
+def _run_sweep(net, ds, mesh, n_nets=4, n_steps=6, batch=16):
+    from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
+    from mpnn_tpu.parallel import shard_sweep_tree
+    members = [init_training(net, seed=i) for i in range(n_nets)]
+    params_s = stack_trees([m[0] for m in members])
+    state_s = stack_trees([m[1] for m in members])
+    vel_s = stack_trees([m[2] for m in members])
+    if mesh is not None:
+        params_s = shard_sweep_tree(params_s, mesh)
+        state_s = shard_sweep_tree(state_s, mesh)
+        vel_s = shard_sweep_tree(vel_s, mesh)
+    k = jnp.asarray([0.0, 1e-9, 4e-9, 1.6e-8][:n_nets], jnp.float32)
+    sched = Schedules(lr=lambda t: 0.05, tau=lambda t: 1.0)
+    loop = make_sweep_train_loop(net, batch, sched, sample_tile=3,
+                                 mesh=mesh)
+    x0_tr, y_tr, m_sym = ds.train_arrays
+    rng = jax.random.PRNGKey(5)
+    params_s, state_s, vel_s, cs = loop(params_s, state_s, vel_s, 0, rng,
+                                        x0_tr, y_tr, m_sym, n_steps, k)
+    return params_s, np.asarray(cs)
+
+
+def test_sweep_mesh_matches_meshless(synth_dataset):
+    """k_cpt-sweep vmap composed with the device mesh (VERDICT r1 #5): the
+    4-net sweep sharded one-net-per-device over a ('sweep','data') mesh
+    reproduces the meshless vmapped sweep trajectory."""
+    from mpnn_tpu.parallel import make_sweep_mesh
+    net = _net(synth_dataset)
+    _, cs_ref = _run_sweep(net, synth_dataset, None)
+    mesh = make_sweep_mesh(n_sweep=4, n_data=2)
+    assert dict(mesh.shape) == {"sweep": 4, "data": 2}
+    _, cs_mesh = _run_sweep(net, synth_dataset, mesh)
+    np.testing.assert_allclose(cs_mesh, cs_ref, rtol=2e-4, atol=1e-5)
+
+
+def test_sweep_mesh_params_stay_sharded(synth_dataset):
+    """After a mesh sweep run, the returned stacked params keep the per-net
+    'sweep' placement (no silent gather to one device)."""
+    from mpnn_tpu.parallel import make_sweep_mesh
+    net = _net(synth_dataset)
+    mesh = make_sweep_mesh(n_sweep=4, n_data=1, devices=jax.devices()[:4])
+    params_s, cs = _run_sweep(net, synth_dataset, mesh)
+    assert np.isfinite(cs).all()
+    leaf = jax.tree.leaves(params_s)[0]
+    assert len(leaf.sharding.device_set) == 4
+
+
 def test_batch_actually_sharded(synth_dataset):
     """The sampled batch inside the step is laid out over the data axis:
     check via the sharding of a jitted identity on a constrained array."""

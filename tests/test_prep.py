@@ -159,3 +159,59 @@ def test_synthetic_tiered_v2_hardness_knobs():
     # actually reach generation; RNG streams diverge at distractor setup).
     b = make_synthetic_tiered(n_tr=400, n_ts=100, n_cls=10, seed=3)
     assert np.abs(a["x0_tr"] - b["x0_tr"]).max() > 0.05
+
+
+def test_prepare_from_files_end_to_end(tmp_path):
+    """The real download pipeline's untar/loadmat/format/combine stages
+    (prep.prepare_from_files) run offline against fixture files in the real
+    on-disk formats: a scipy .mat MNIST archive and the CIFAR batches
+    tarball (reference scripts/prep-data:20-136). Only urlretrieve is
+    skipped."""
+    import tarfile
+    import scipy.io as io
+
+    # MNIST .mat with the reference's train0..9/test0..9 uint8 rows.
+    mat_path = str(tmp_path / "mnist.mat")
+    io.savemat(mat_path, _fake_mnist_mat())
+
+    # CIFAR tarball: cifar-10-batches-mat/{data_batch_1..5,test_batch}.mat.
+    rng = np.random.RandomState(7)
+    batch_dir = tmp_path / "cifar-10-batches-mat"
+    batch_dir.mkdir()
+    for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        io.savemat(str(batch_dir / f"{name}.mat"),
+                   {"data": (rng.rand(6, 3072) * 255).astype(np.uint8),
+                    "labels": rng.randint(0, 10, (6, 1))})
+    tgz_path = str(tmp_path / "cifar10.tar.gz")
+    with tarfile.open(tgz_path, "w:gz") as tar:
+        tar.add(str(batch_dir), arcname="cifar-10-batches-mat")
+
+    out = tmp_path / "data"
+    names = prep.prepare_from_files(str(out), mat_path, tgz_path,
+                                    verbose=False)
+    assert names == sorted(["mnist.npz", "cifar-10.npz", "cifar-2.npz",
+                            "cifar-5.npz", "hybrid.npz"])
+    for name in names:
+        ds = Dataset(str(out / name), device_put=False)
+        assert ds.x0_tr.shape[1:] == (32, 32, 3) or name == "mnist.npz"
+        assert ds.x0_tr.min() >= 0 and ds.x0_tr.max() <= 1
+        assert np.allclose(ds.y_tr.sum(1), 1)
+        assert ds.provenance is not None and not ds.provenance["synthetic"]
+    hyb = Dataset(str(out / "hybrid.npz"), device_put=False)
+    # 3-channel, 10 classes, flip mask [0]*5 + [1]*5 (prep-data:160).
+    assert hyb.x0_tr.shape[1:] == (32, 32, 3)
+    assert hyb.y_tr.shape[1] == 10
+    np.testing.assert_array_equal(hyb.m_sym, [0] * 5 + [1] * 5)
+    # Examples are regrouped BY CLASS in kept-class order (prep-data:
+    # 176-188): labels come out sorted ascending, 0-4 = recolored digits,
+    # 5-9 = the kept CIFAR classes.
+    labels = hyb.y_tr.argmax(1)
+    assert (np.diff(labels) >= 0).all()
+    assert set(np.unique(labels)) <= set(range(10))
+
+
+def test_synthetic_provenance_tagged(tmp_path):
+    names = prep.make_synthetic_archives(str(tmp_path), small=True)
+    for name in names:
+        ds = Dataset(str(tmp_path / name), device_put=False)
+        assert ds.provenance is not None and ds.provenance["synthetic"]

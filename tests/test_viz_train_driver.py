@@ -221,3 +221,77 @@ def test_nld_canvas_scales_with_topology(tmp_path):
     assert p and os.path.exists(p)
     p = nld.render_experiment_grid(logs, "c", str(tmp_path / "c.pdf"))
     assert p and os.path.exists(p)
+
+
+def test_manifest_provenance(trained_dir):
+    """Every experiment directory carries machine-readable dataset
+    provenance (MANIFEST.json) so synthetic stand-ins are never mistaken
+    for real-dataset results (VERDICT r1 weak #4)."""
+    import json
+    man = json.loads(
+        (trained_dir / "nets" / "synth-ac" / "MANIFEST.json").read_text())
+    assert man["provenance"]["synthetic"] is True
+    assert man["dataset"].endswith("synth.npz")
+
+
+def test_adaptive_stats_log_history(tmp_path):
+    """stats_log=True writes per-k_cpt snapshot history at t_log
+    boundaries, so make-videos works on adaptive runs (VERDICT r1 #9)."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    np.savez_compressed(data_dir / "synth.npz",
+                        synth.make_synthetic(n_tr=96, n_ts=48, h=16, w=16,
+                                             n_cls=10, seed=1))
+    from mpnn_tpu.train import train_adaptive_experiment
+    from mpnn_tpu import experiments as cfg
+    train_adaptive_experiment("synth-ac-dynkcpt", n_iter=6, t_log=3,
+                              batch_size=16, data_root=str(tmp_path),
+                              out_root=str(tmp_path / "nets"),
+                              verbose=False, stats_log=True)
+    out = tmp_path / "nets" / "synth-ac-dynkcpt"
+    for i in range(len(cfg.k_cpts)):
+        snaps = sorted(glob(str(out / ("%.4i-stats" % i) / "*.npy")))
+        assert [os.path.basename(p) for p in snaps] == [
+            "00000003.npy", "00000006.npy"], i
+    # make-videos machinery consumes the snapshot history.
+    from mpnn_tpu.viz import loading, nld
+    snaps = loading.load_snapshots(str(tmp_path / "nets"),
+                                   "synth-ac-dynkcpt", 0)
+    assert len(snaps) == 2
+    frames = nld.render_video_frames(snaps, str(tmp_path / "vid"))
+    assert len(frames) == 2
+
+
+def test_vmap_sweep_with_mesh_full_driver(tmp_path, synth_npz_dir):
+    """_train_sweep composed with a ('sweep','data') mesh (VERDICT r1 #5):
+    the full driver path -- sharded training, vmapped sweep EVAL on
+    sweep-sharded params, per-net stats/log/checkpoint writes -- runs on
+    the virtual device mesh and produces the standard output contract."""
+    import jax
+    from mpnn_tpu.parallel import make_sweep_mesh
+    from mpnn_tpu.train import train_experiment
+    from mpnn_tpu.utils.serdes import read_net
+
+    mesh = make_sweep_mesh(n_sweep=4, n_data=2)
+    out = str(tmp_path / "nets")
+    train_experiment("synth-ac", n_iter=4, t_log=4, batch_size=8,
+                     data_root=synth_npz_dir, out_root=out, verbose=False,
+                     vmap_sweep=True, mesh=mesh)
+    for i in range(8):
+        d = np.load(f"{out}/synth-ac/%.4i-stats.npy" % i,
+                    allow_pickle=True)[()]
+        assert d["type"] == "ActorNet"
+        assert 0.0 <= d["stats_ts"]["acc"] <= 1.0
+        _, _, _, extra = read_net(f"{out}/synth-ac/%.4i.npy" % i)
+        assert int(extra["t"]) == 4
+
+
+def test_vmap_sweep_mesh_axis_validation(synth_npz_dir):
+    """A non-sweep mesh with --vmap-sweep fails loudly."""
+    from mpnn_tpu.parallel import make_mesh
+    from mpnn_tpu.train import train_experiment
+    with pytest.raises(ValueError, match="sweep"):
+        train_experiment("synth-ac", n_iter=2, t_log=2, batch_size=8,
+                         data_root=synth_npz_dir, out_root="/tmp/unused",
+                         verbose=False, vmap_sweep=True,
+                         mesh=make_mesh(n_data=8, n_model=1))

@@ -11,6 +11,11 @@ bench.py sweep configuration under remat policies:
   dots -- save matmul/conv outputs, recompute elementwise (BN/relu/pool)
   full -- save nothing; backward re-runs the forward
 
+MEASURED 2026-08-17 (v5e single chip): none 3286.2 us/step < dots 3526.1
+< full 4109.4. REFUTED: the bf16 activations' backward reads are not the
+binding HBM traffic; recompute only adds work. Keep remat OFF for this
+workload (ops.config.set_remat(None), the default).
+
 Prints one JSON line per config. Sync via host materialization (axon
 gotcha: block_until_ready can return early)."""
 
