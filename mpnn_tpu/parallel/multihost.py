@@ -1,4 +1,4 @@
-"""Multi-host (DCN) initialization hook.
+"""Multi-host (DCN) communication backend.
 
 The reference is strictly single-process (SURVEY.md section 2.2). This
 framework's mesh abstraction already spans hosts: `jax.distributed` makes
@@ -13,17 +13,32 @@ Typical multi-host launch (one process per host):
     from mpnn_tpu.parallel import multihost, make_mesh
     multihost.initialize()            # env-driven (TPU pods auto-detect)
     mesh = make_mesh()                # all global devices on 'data'
+    batch = multihost.global_batch(mesh, local_batch)   # shard over hosts
+    ...
+    if multihost.is_primary():        # one writer for stats/checkpoints
+        write_net(...)
 
-Single-host runs need not call this at all."""
+Exercised for real in tests/test_multihost.py: two coordinated processes
+(CPU backend, gloo collectives) run a shared data-parallel gradient step
+with per-process batch shards and assert bitwise-identical losses."""
 
+import numpy as np
 import jax
 
 
 def initialize(coordinator_address=None, num_processes=None,
-               process_id=None):
+               process_id=None, cpu_collectives="gloo"):
     """Initialize jax.distributed; on TPU pods all arguments auto-detect
     from the environment. Safe to call once per process, before any other
-    JAX calls."""
+    JAX backend touch. For CPU-backend multi-process runs (tests, dev
+    boxes) `cpu_collectives` selects the cross-process CPU collective
+    implementation."""
+    if coordinator_address is not None and cpu_collectives:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation",
+                              cpu_collectives)
+        except Exception:
+            pass  # TPU runs don't need it; flag name is version-dependent
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -38,3 +53,28 @@ def initialize(coordinator_address=None, num_processes=None,
 def is_primary():
     """True on the process that should write checkpoints/stats/logs."""
     return jax.process_index() == 0
+
+
+def global_batch(mesh, local_arrays, axis="data"):
+    """Assemble per-process host shards into global device arrays sharded
+    over `axis` (the cross-host data-parallel input path: each host feeds
+    only its own examples; no host ever materializes the global batch).
+
+    local_arrays: one array per leaf with the PER-PROCESS batch slice;
+    returns arrays whose global leading dim is process_count * local."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(a):
+        a = np.asarray(a)
+        global_shape = (a.shape[0] * jax.process_count(),) + a.shape[1:]
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(axis)), a, global_shape)
+
+    return jax.tree.map(put, local_arrays)
+
+
+def sync_global_devices(tag="barrier"):
+    """Cross-process barrier (e.g. before the primary writes files that
+    other processes will read)."""
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(tag)
