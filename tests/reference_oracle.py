@@ -64,12 +64,37 @@ class Info:
         self.delta_cor = delta_cor
 
 
-def layer_forward(layer, params, state, x, y, train):
+def pool2(x):
+    """2x2 stride-2 max pool (reference layer_types.py:109-110); the
+    experiments only pool even spatial dims."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).max((2, 4))
+
+
+def lln_kernel(sigma):
+    """Gaussian Rec.709 luma kernel (layer_types.py:131-137)."""
+    s = int(np.ceil(2 * sigma))
+    u = np.linspace(-s, s, 2 * s + 1)[:, None, None, None]
+    v = np.linspace(-s, s, 2 * s + 1)[:, None, None]
+    return (np.exp(-(u ** 2 + v ** 2) / (2 * sigma ** 2))
+            / (2 * np.pi * sigma ** 2)
+            * [[0.2126], [0.7152], [0.0722]])
+
+
+def layer_forward(layer, params, state, x, y, train, overrides=None):
     """Forward one layer per the reference's link-time math; params/state
     are the repo pytrees for this layer (plain nested dict/list of numpy
-    arrays). Returns Info. `layer` supplies only structure + hypers."""
+    arrays). Returns Info. `layer` supplies only structure + hypers.
+
+    overrides: {id(layer): output} for layers whose operator the repo
+    deviates from BY DESIGN (ToPyramid's resize grid, PARITY.md) -- the
+    override substitutes that one layer's output so everything downstream
+    is still pinned independently."""
     kind = type(layer).__name__
     h = layer.hypers
+    if overrides and id(layer) in overrides:
+        return Info(overrides[id(layer)])
 
     if kind == "NoOp":
         return Info(x)
@@ -135,17 +160,82 @@ def layer_forward(layer, params, state, x, y, train):
         # layer_types.py:287-293
         dims = tuple(range(1, x.ndim))
         return Info(x, c_mod=h.α * np.sum(np.square(x), axis=dims))
+    if kind == "MaxPool":
+        # Documented-intent semantics (window supp, stride stride);
+        # the reference transposes the args -- see PARITY.md. Oracle
+        # covers the repo-documented intent at supp == stride == 2 only.
+        assert h.supp == 2 and h.stride == 2, "oracle covers 2x2/2 only"
+        return Info(pool2(x))
+    if kind == "Select":
+        # layer_types.py:201-206
+        return Info(x[h.i])
+    if kind == "MultiscaleRect":
+        return Info([np.maximum(x_i, 0.0) for x_i in x])
+    if kind == "MultiscaleBatchNorm":
+        # layer_types.py:241-249: one BatchNorm per scale as comps.
+        outs = []
+        for comp, p, s, x_i in zip(layer.comps, params["comps"],
+                                   state["comps"], x):
+            outs.append(layer_forward(comp, p, s, x_i, y, train).x)
+        return Info(outs)
+    if kind == "MultiscaleLLN":
+        # layer_types.py:127-147: divide by Gaussian luma corrected by
+        # the border density (conv of a ones image with the same kernel).
+        k = lln_kernel(h.σ)
+        outs = []
+        for x_i in x:
+            lum = conv_same(x_i, k)
+            dens = conv_same(np.ones_like(x_i[:1]), k)
+            outs.append(x_i / (lum / dens + h.ϵ))
+        return Info(outs)
+    if kind == "MultiscaleConvMax":
+        # layer_types.py:149-194: per-scale horizontal convs of the kept
+        # input scales + vertical convs of the pooled previous output
+        # scale, coarse-to-fine accumulation; L2 over w_horz + w_vert.
+        L = len(h.n_chan)
+        kept = x[len(x) - L:]
+        out = [None] * L
+        w0 = np.asarray(params["w_horz_0"], np.float64)
+        out[0] = conv_same(kept[0], w0) + np.asarray(params["b_0"])
+        for j in range(1, L):
+            wh = np.asarray(params[f"w_horz_{j}"], np.float64)
+            wv = np.asarray(params[f"w_vert_{j-1}"], np.float64)
+            out[j] = (conv_same(kept[j], wh)
+                      + conv_same(pool2(out[j - 1]), wv)
+                      + np.asarray(params[f"b_{j}"]))
+        c_mod = h.k_l2 * (
+            sum(np.sum(np.square(np.asarray(params[f"w_horz_{j}"])))
+                for j in range(L))
+            + sum(np.sum(np.square(np.asarray(params[f"w_vert_{j}"])))
+                  for j in range(L - 1)))
+        return Info(out, c_mod=c_mod)
     if kind == "Chain":
         # layer_types.py:299-310: sum costs, forward last delta_cor.
         c_err, c_mod, delta_cor = 0.0, 0.0, None
         for comp, p, s in zip(layer.comps, params["comps"], state["comps"]):
-            info = layer_forward(comp, p, s, x, y, train)
+            info = layer_forward(comp, p, s, x, y, train, overrides)
             x = info.x
             c_err = c_err + info.c_err
             c_mod = c_mod + info.c_mod
             delta_cor = info.delta_cor
         return Info(x, c_err=c_err, c_mod=c_mod, delta_cor=delta_cor)
     raise NotImplementedError(f"oracle has no {kind}")
+
+
+def mcm_n_ops(layer):
+    """Independent op-count for MultiscaleConvMax
+    (layer_types.py:186-194): sum over output scales of
+    n_pix(out_i) * (n_el(w_horz_i) + n_el(w_vert_{i-1}) if i > 0)."""
+    h = layer.hypers
+    L = len(h.n_chan)
+    total = 0
+    for j in range(L):
+        hh, ww, _ = layer.out_shape[j]
+        n = int(np.prod(layer._w_horz_shapes[j]))
+        if j > 0:
+            n += int(np.prod(layer._w_vert_shapes[j - 1]))
+        total += hh * ww * n
+    return float(total)
 
 
 # ----------------------------------------------------------------- tree walk
@@ -155,26 +245,33 @@ def n_leaves(layer):
 
 
 def net_forward(net, params, state, x0, y, train, k_cpt=None,
-                alpha_cpt=None, dyn_k_cpt=False):
+                alpha_cpt=None, dyn_k_cpt=False, overrides=None):
     """link_layer recursion (net_types.py:56-63 / :146-163): forward each
     node, then its router on the node's output (with the alpha_cpt*k_cpt
     column appended when dyn_k_cpt, net_types.py:149-160), then its sinks
     on the node's output. Returns {node: Info} with .router_x/.router_c_mod
-    set on routed nodes."""
+    set on routed nodes. `overrides` substitutes outputs of
+    documented-deviant layers (see layer_forward)."""
     infos = {}
 
+    def cat_k_cpt(x_i):
+        flat = x_i.reshape(x_i.shape[0], -1)
+        col = (alpha_cpt * np.asarray(k_cpt, np.float64)
+               * np.ones(x_i.shape[0])).reshape(-1, 1)
+        return np.concatenate([flat, col], axis=1)
+
     def visit(node, p, s, x):
-        info = layer_forward(node, p["layer"], s["layer"], x, y, train)
+        info = layer_forward(node, p["layer"], s["layer"], x, y, train,
+                             overrides)
         infos[node] = info
         if node.router is not None:
             x_rte = info.x
             if dyn_k_cpt:
-                flat = x_rte.reshape(x_rte.shape[0], -1)
-                col = (alpha_cpt * np.asarray(k_cpt, np.float64)
-                       * np.ones(x_rte.shape[0])).reshape(-1, 1)
-                x_rte = np.concatenate([flat, col], axis=1)
+                # net_types.py:149-160: per-scale concat for pyramids.
+                x_rte = ([cat_k_cpt(x_i) for x_i in x_rte]
+                         if isinstance(x_rte, list) else cat_k_cpt(x_rte))
             r = layer_forward(node.router, p["router"], s["router"],
-                              x_rte, y, train)
+                              x_rte, y, train, overrides)
             info.router_x = r.x
             info.router_c_mod = r.c_mod
         for i, snk in enumerate(node.sinks):

@@ -236,3 +236,84 @@ def test_eps_mixture_hand_computed():
     o_soft = oracle.softmax(np.float64(logits))
     o_pi = (1 - 0.12 / 1.0) * o_soft + np.array([0.06, 0.06])
     np.testing.assert_allclose(o_pi, hand_pi_tr, atol=1e-12)
+
+
+def _pyramid_override(net, x0):
+    """Compute the repo's ToPyramid output as DATA for the oracle: the
+    resize grid is the one documented deviation (PARITY.md), so its
+    output is substituted and every downstream layer -- LLN, the
+    MultiscaleConvMax stack, multiscale BN/Rect, Select routers, regs --
+    is still pinned independently."""
+    from mpnn_tpu.ops.layers import ToPyramid
+    tp = net.root.comps[0]
+    assert isinstance(tp, ToPyramid), type(tp)
+    out, _, _ = tp.apply({}, {}, jnp.asarray(x0), None,
+                         Ctx(train=False, rng=None))
+    return {id(tp): [np.float64(np.asarray(o)) for o in out]}
+
+
+@pytest.mark.parametrize("kind", ["ac", "cr"])
+def test_flagship_chain_matches_oracle(kind):
+    """The REAL registry architecture (8-deep ac_chain / cr_chain:
+    4-scale pyramid, LLN, MultiscaleConvMax stages, multiscale BN,
+    Select(-1) routers, early-exit regs) against the oracle, train mode,
+    on 32x32x3 inputs."""
+    from mpnn_tpu.experiments import ac_chain, cr_chain
+
+    make = ac_chain(k_cpt=1e-9) if kind == "ac" else cr_chain(k_cpt=1e-9)
+    net = make((32, 32, 3), (10,))
+    params, state = net.init(jax.random.PRNGKey(3))
+    r = np.random.RandomState(3)
+    bsz = 4
+    x0 = r.rand(bsz, 32, 32, 3).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[r.randint(0, 10, bsz)]
+    tau, eps = 0.7, 1e-6
+    ctx = Ctx(train=True, rng=None, tau=tau, eps=eps, k_cpt=1e-9)
+    recs, _ = net.forward(params, jax.tree.map(jnp.asarray, state),
+                          jnp.asarray(x0), jnp.asarray(y), ctx)
+    loss = float(net.loss(recs, bsz, ctx))
+
+    infos = oracle.net_forward(net, _np_tree(params), _np_tree(state),
+                               np.float64(x0), np.float64(y), True,
+                               overrides=_pyramid_override(net, x0))
+    oracle.route(net.root, infos, eps=eps, tau=tau)
+    if kind == "ac":
+        o_loss, _ = oracle.actor_loss(net, infos, k_cpt=1e-9,
+                                      k_dec=net.hypers.k_dec)
+    else:
+        o_loss, _ = oracle.critic_loss(net, infos, k_cpt=1e-9,
+                                       k_cre=net.hypers.k_cre,
+                                       use_cls_err=net.hypers.use_cls_err,
+                                       optimistic=net.hypers.optimistic)
+
+    # Deep-chain p_tr spans ~7 orders of magnitude (eps floors ~1e-7):
+    # compare in relative terms with a floor-scale atol.
+    for l in net.layers:
+        np.testing.assert_allclose(np.asarray(recs[l].p_tr), infos[l].p_tr,
+                                   rtol=2e-4, atol=1e-10, err_msg=l.name)
+        if recs[l].router_x is not None:
+            np.testing.assert_allclose(np.asarray(recs[l].router_x),
+                                       infos[l].router_x,
+                                       rtol=2e-4, atol=2e-5)
+    # Leaf error costs and the total.
+    for l in net.leaves:
+        np.testing.assert_allclose(np.asarray(recs[l].c_err),
+                                   infos[l].c_err, rtol=2e-4, atol=1e-6)
+    assert np.isclose(loss, o_loss, rtol=5e-4), (loss, o_loss)
+
+
+def test_mcm_op_count_matches_oracle():
+    """The analytic op counts feeding c_cpt and moc, re-derived
+    independently (layer_types.py:186-194) for every MCM stage of the
+    flagship chain, plus LinTrans/Conv formulas."""
+    from mpnn_tpu.experiments import ac_chain
+    from mpnn_tpu.ops.layers import MultiscaleConvMax
+
+    net = ac_chain(k_cpt=0.0)((32, 32, 3), (10,))
+    n_checked = 0
+    for node in net.layers:
+        for comp in node.comps:
+            if isinstance(comp, MultiscaleConvMax):
+                assert comp.n_ops == oracle.mcm_n_ops(comp), comp.name
+                n_checked += 1
+    assert n_checked >= 8
