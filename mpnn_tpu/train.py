@@ -195,7 +195,6 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
     t_log = t_log or cfg.t_log
     batch_size = batch_size or cfg.batch_size
     out_dir = os.path.join(out_root, expt_name)
-    _write_manifest(out_dir, dataset)
     indices = net_indices if net_indices is not None \
         else range(len(expt.nets))
 
@@ -209,11 +208,13 @@ def train_experiment(expt_name, *, n_iter=None, t_log=None, batch_size=None,
                 "--vmap-sweep needs a ('sweep', 'data') mesh "
                 "(parallel.make_sweep_mesh), got axes %r"
                 % (mesh.axis_names,))
+        _write_manifest(out_dir, dataset)
         return _train_sweep(expt, expt_name, dataset, n_iter=n_iter,
                             t_log=t_log, batch_size=batch_size,
                             out_dir=out_dir, seed=seed, verbose=verbose,
                             resume=resume, mesh=mesh)
 
+    _write_manifest(out_dir, dataset)
     for i in indices:
         net = expt.nets[i](dataset.x0_shape, dataset.y_shape)
         schedules = Schedules(lr=cfg.λ_lrn, tau=expt.tau)

@@ -168,8 +168,10 @@ def _routing_hist_fig(nets_dir, path, expt="hybrid-ac", k_labels=None):
         plt.title(k_labels[i], fontsize="x-small")
         plt.xticks([3, 7], ["4", "8"])
         if i == 0:
-            plt.yticks([n_ep - 1, 0],
-                       [str(n_ep // 2), str(n_ep)])
+            # Rows are newest-first; label the middle and newest epochs
+            # (reference make-pres-figs:292 labels rows 16/0 as 40k/80k).
+            plt.yticks([n_ep // 2, 0],
+                       [str(n_ep - n_ep // 2), str(n_ep)])
             plt.ylabel("Epoch Index")
         else:
             plt.yticks([])
@@ -238,7 +240,7 @@ def _inventory(auto_lim):
 
 
 def make_pres_figs(nets_dir="nets", fig_dir="figures", auto_lim=False,
-                   hist_expt="hybrid-ac", verbose=True):
+                   hist_expt=None, verbose=True):
     """Write the full presentation set; returns written paths.
 
     auto_lim=True drops the reference's hard-coded hybrid axis limits
@@ -266,7 +268,16 @@ def make_pres_figs(nets_dir="nets", fig_dir="figures", auto_lim=False,
             continue
         written.append(builder(stats, next_path()))
 
-    p = _routing_hist_fig(nets_dir, next_path(), expt=hist_expt)
-    if p:
-        written.append(p)
+    # Routing heatmap: explicit experiment, or the first candidate with
+    # snapshot history (hybrid-ac, falling back to the synth smoke run).
+    candidates = [hist_expt] if hist_expt else ["hybrid-ac", "synth-ac"]
+    for expt in candidates:
+        p = _routing_hist_fig(nets_dir, next_path(), expt=expt)
+        if p:
+            written.append(p)
+            break
+        fig_i -= 1  # figure not produced; reuse the number
+        if verbose:
+            print("  [skipping routing heatmap: no snapshot history for "
+                  "nets 0-3 of %s]" % expt)
     return written
