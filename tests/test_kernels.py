@@ -101,3 +101,23 @@ def test_fused_mcm_bf16_vjp_dtypes(stage):
         assert all(np.isfinite(np.asarray(gi)).all() for gi in g)
     finally:
         config.set_compute_dtype(None)
+
+
+@pytest.mark.parametrize("c", [64, 128])
+def test_forward_matches_xla_wide_channels(c):
+    """The width-suite channel range (fat 32-256, fatter 48-384): the
+    fused kernel must stay exact where its economics become competitive
+    (tools/tpu_mcm_width.py measures the crossover on-chip)."""
+    rng = np.random.RandomState(1)
+    xs = [jnp.asarray(rng.rand(4, 8, 8, c).astype(np.float32)),
+          jnp.asarray(rng.rand(4, 4, 4, c).astype(np.float32))]
+    whs = [jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.05,
+           jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.05]
+    wvs = [jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32)) * 0.05]
+    bs = [jnp.zeros((c,), jnp.float32), jnp.zeros((c,), jnp.float32)]
+    ref = mcm_xla(xs, whs, wvs, bs)
+    out = fused_mcm_forward(xs, whs, wvs, bs, 3, batch_tile=2,
+                            interpret=True)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=2e-4, rtol=2e-4)
