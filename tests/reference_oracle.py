@@ -423,6 +423,54 @@ def critic_loss(net, infos, k_cpt, k_cre, use_cls_err, optimistic):
                                                 c_mod=c_mod)
 
 
+def actor_loss_sg(net, live, frozen, k_cpt, k_dec):
+    """Actor loss with stop_gradient semantics made EXPLICIT for
+    finite-difference gradient checks: quantities the reference wraps in
+    sg (net_types.py:171-176) are read from `frozen` (the infos at the
+    unperturbed parameters), everything else from `live` (the infos at
+    the perturbed parameters). d/d(theta) of this function via central
+    differences equals the reference's training gradient:
+      c_err = p_tr_live * c_err_live      (policy gradient flows via p_tr)
+      c_cpt = p_tr_live * k_cpt * ops
+      c_mod = sg(p_tr) * c_mod            -> p_tr_frozen * c_mod_live
+      c_dec = sg(p_tr) * k_dec * |rx|^2   -> p_tr_frozen * |rx_live|^2."""
+    batch = _batch_of(live[net.root])
+    k_cpt = np.asarray(k_cpt, np.float64)
+    tot = np.zeros(batch)
+    for l in _layers(net.root):
+        lv, fz = live[l], frozen[l]
+        tot = tot + lv.p_tr * lv.c_err
+        tot = tot + lv.p_tr * k_cpt * (l.n_ops + router_n_ops(l))
+        tot = tot + fz.p_tr * (lv.c_mod + getattr(lv, "router_c_mod", 0.0))
+        if len(l.sinks) > 1:
+            tot = tot + fz.p_tr * k_dec * np.sum(
+                np.square(lv.router_x), axis=1)
+    return np.mean(tot)
+
+
+def critic_loss_sg(net, live, frozen, k_cpt, k_cre, use_cls_err,
+                   optimistic):
+    """Critic loss with sg semantics explicit (net_types.py:239-243,
+    275-280): the regression TARGETS (sink cost-to-go) and every p_tr
+    weight come from `frozen`; router logits and per-layer costs from
+    `live`. Fills nothing; returns the scalar."""
+    critic_cost_to_go(net, frozen, k_cpt, k_cre, use_cls_err, optimistic)
+    batch = _batch_of(live[net.root])
+    tot = np.zeros(batch)
+    for l in _layers(net.root):
+        lv, fz = live[l], frozen[l]
+        tot = tot + fz.p_tr * lv.c_err
+        if len(l.sinks) > 1:
+            c_cre = k_cre * sum(
+                np.square(lv.router_x[:, i]
+                          + (frozen[s].c_opt if optimistic
+                             else frozen[s].c_ev))
+                for i, s in enumerate(l.sinks))
+            tot = tot + fz.p_tr * c_cre
+        tot = tot + fz.p_tr * (lv.c_mod + getattr(lv, "router_c_mod", 0.0))
+    return np.mean(tot)
+
+
 def talr_scales(net, infos, alpha_rtr, talr=True):
     """Per-node gradient scales of minimize_expectation
     (net_types.py:24-37): layer params get 1/sqrt(mean(p_tr^2)), router
