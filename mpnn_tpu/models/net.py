@@ -58,6 +58,23 @@ def n_leaves(layer):
     return sum(n_leaves(s) for s in layer.sinks)
 
 
+def _hyper_sig(v):
+    """Hashable congruence signature for one hyper value."""
+    import numpy as np
+    if isinstance(v, (np.ndarray, jnp.ndarray)):
+        a = np.asarray(v)
+        return ("ndarray", a.shape, str(a.dtype), hash(a.tobytes()))
+    return repr(v)
+
+
+def _subtree_nodes(node):
+    """Preorder tree-node list of `node`'s subtree (sinks only)."""
+    out = [node]
+    for s in node.sinks:
+        out.extend(_subtree_nodes(s))
+    return out
+
+
 def _all_sublayers(layer):
     """Every Layer object reachable from `layer` through comps and router
     (NOT sinks) -- the unit whose params share one TALR scale
@@ -107,6 +124,68 @@ class Net:
             for sub in _all_sublayers(node):
                 sub._uid = next(counter)
         self._n_leaves_root = n_leaves(self.root)
+        self._compute_stack_plan()
+
+    # -------------------------------------------- congruent-subtree batching
+
+    def _layer_sig(self, layer, in_shape, memo):
+        """Recursive structural-congruence signature: two layers with equal
+        signatures build identical param/state/compute structure (class,
+        hypers, input shape, comps chain, router, sink subtrees). Used to
+        find shared-shape subtrees (e.g. dr_tree's 8 identical 5-deep tails,
+        experiments.py:126-143) that can be evaluated as ONE vmapped
+        template instead of unrolled in the trace."""
+        if id(layer) in memo:
+            return memo[id(layer)]
+        h = tuple(sorted((k, _hyper_sig(v))
+                         for k, v in vars(layer.hypers).items()))
+        shape = in_shape
+        comp_sigs = []
+        for c in layer.comps:
+            comp_sigs.append(self._layer_sig(c, shape, memo))
+            shape = c.out_shape
+        r_sig = (self._layer_sig(layer.router, self._router_in_shape(layer),
+                                 memo)
+                 if layer.router is not None else None)
+        s_sigs = tuple(self._layer_sig(s, layer.out_shape, memo)
+                       for s in layer.sinks)
+        sig = (type(layer).__name__, h, repr(in_shape), repr(layer.out_shape),
+               tuple(comp_sigs), r_sig, s_sigs)
+        memo[id(layer)] = sig
+        return sig
+
+    def _compute_stack_plan(self):
+        """Greedy maximal grouping of congruent non-root subtrees. Each plan
+        entry is a group of >=2 disjoint, structurally-identical subtrees;
+        forward() (when ops.config.stacked_tails is on) evaluates each group
+        as one vmapped template over stacked params/state/inputs. Selection
+        maximizes (group_width - 1) * subtree_size, i.e. trace-size saved."""
+        memo = {}
+        classes = {}
+
+        def walk(node, in_shape, is_root):
+            if not is_root:
+                classes.setdefault(
+                    self._layer_sig(node, in_shape, memo), []).append(node)
+            for s in node.sinks:
+                walk(s, node.out_shape, False)
+
+        walk(self.root, tuple(self.hypers.x0_shape), True)
+
+        cands = [(members, len(_subtree_nodes(members[0])))
+                 for members in classes.values() if len(members) >= 2]
+        cands.sort(key=lambda c: (len(c[0]) - 1) * c[1], reverse=True)
+        covered, plan = set(), []
+        for members, _size in cands:
+            elig = [m for m in members
+                    if not any(id(n) in covered for n in _subtree_nodes(m))]
+            if len(elig) < 2:
+                continue
+            plan.append({"members": elig,
+                         "preorders": [_subtree_nodes(m) for m in elig]})
+            for m in elig:
+                covered.update(id(n) for n in _subtree_nodes(m))
+        self._stack_plan = plan
 
     # -------------------------------------------------------------- iterators
 
@@ -156,6 +235,42 @@ class Net:
         overridden by dyn_k_cpt nets."""
         return x
 
+    def _apply_one(self, node, p, s, x, y, ctx):
+        """Apply one tree node + its router. Returns (field dict, new state
+        subtree with empty sinks). The dict is pytree-compatible (used both
+        for direct Rec filling and under vmap in the stacked-tails path)."""
+        x_out, ns_layer, aux = node.apply(p["layer"], s["layer"], x, y, ctx)
+        o = {"x": x_out, "c_err": aux.c_err, "c_mod": aux.c_mod,
+             "delta_cor": aux.delta_cor, "router_x": None,
+             "router_c_mod": 0.0}
+        ns = {"layer": ns_layer, "router": s["router"], "sinks": []}
+        if node.router is not None:
+            x_rte = self._router_input(x_out, ctx)
+            r_x, ns_rtr, r_aux = node.router.apply(
+                p["router"], s["router"], x_rte, y, ctx)
+            o["router_x"] = r_x.astype(jnp.float32)
+            o["router_c_mod"] = r_aux.c_mod
+            ns["router"] = ns_rtr
+        return o, ns
+
+    def _walk_subtree(self, root, p, s, x, y, ctx, outs):
+        """Serially trace `root`'s subtree, appending per-node field dicts to
+        `outs` in preorder; returns the new-state subtree."""
+        o, ns = self._apply_one(root, p, s, x, y, ctx)
+        outs.append(o)
+        for i, snk in enumerate(root.sinks):
+            ns["sinks"].append(self._walk_subtree(
+                snk, p["sinks"][i], s["sinks"][i], o["x"], y, ctx, outs))
+        return ns
+
+    @staticmethod
+    def _rec_from(o):
+        rec = Rec()
+        rec.x, rec.c_err, rec.c_mod = o["x"], o["c_err"], o["c_mod"]
+        rec.delta_cor = o["delta_cor"]
+        rec.router_x, rec.router_c_mod = o["router_x"], o["router_c_mod"]
+        return rec
+
     def forward(self, params, state, x0, y, ctx):
         """Run the whole tree densely; returns ({node: Rec}, new_state).
 
@@ -164,34 +279,73 @@ class Net:
         HBM-bandwidth-bound; see ops.layers.conv_same). Router logits are
         recorded in fp32: every consumer (routing eps-mixture -- whose
         floors sit at ~1e-7, SURVEY.md section 7 "hard parts" --, critic
-        regression, c_dec, x_rte stats) is precision-sensitive and tiny."""
+        regression, c_dec, x_rte stats) is precision-sensitive and tiny.
+
+        When ops.config.stacked_tails is on, groups of congruent subtrees
+        (the build-time _stack_plan) are evaluated as ONE vmapped template
+        over stacked params/state/inputs instead of being unrolled node by
+        node in the trace; the stacked results are sliced back into the
+        per-node record table, so routing/loss/stats code is unaffected."""
         from ..ops import config
         if config.compute_dtype is not None:
             x0 = x0.astype(config.compute_dtype)
+        plan = self._stack_plan if config.stacked_tails else []
+        group_of = {id(m): (gi, mi)
+                    for gi, g in enumerate(plan)
+                    for mi, m in enumerate(g["members"])}
+        # Per group member: (params, state, input, parent sinks-list, index).
+        pend = [[None] * len(g["members"]) for g in plan]
         recs = {}
 
         def fwd(node, p, s, x):
-            x_out, ns_layer, aux = node.apply(p["layer"], s["layer"], x, y,
-                                              ctx)
-            rec = Rec()
-            rec.x = x_out
-            rec.c_err, rec.c_mod = aux.c_err, aux.c_mod
-            rec.delta_cor = aux.delta_cor
-            ns = {"layer": ns_layer, "router": s["router"], "sinks": []}
-            if node.router is not None:
-                x_rte = self._router_input(x_out, ctx)
-                r_x, ns_rtr, r_aux = node.router.apply(
-                    p["router"], s["router"], x_rte, y, ctx)
-                rec.router_x = r_x.astype(jnp.float32)
-                rec.router_c_mod = r_aux.c_mod
-                ns["router"] = ns_rtr
-            recs[node] = rec
+            o, ns = self._apply_one(node, p, s, x, y, ctx)
+            recs[node] = self._rec_from(o)
             for i, snk in enumerate(node.sinks):
-                ns["sinks"].append(
-                    fwd(snk, p["sinks"][i], s["sinks"][i], x_out))
+                at = group_of.get(id(snk))
+                if at is not None:
+                    ns["sinks"].append(None)  # filled by the group run below
+                    pend[at[0]][at[1]] = (p["sinks"][i], s["sinks"][i],
+                                          o["x"], ns["sinks"], i)
+                else:
+                    ns["sinks"].append(
+                        fwd(snk, p["sinks"][i], s["sinks"][i], o["x"]))
             return ns
 
         new_state = fwd(self.root, params, state, x0)
+
+        for gi, g in enumerate(plan):
+            members = g["members"]
+            template = members[0]
+            stack = lambda *leaves: jnp.stack(leaves)
+            p_st = jax.tree_util.tree_map(stack, *[e[0] for e in pend[gi]])
+            s_st = jax.tree_util.tree_map(stack, *[e[1] for e in pend[gi]])
+            x_st = jax.tree_util.tree_map(stack, *[e[2] for e in pend[gi]])
+
+            def run(p, s, x, rng, _template=template):
+                c = Ctx(train=ctx.train, rng=rng, tau=ctx.tau, eps=ctx.eps,
+                        k_cpt=ctx.k_cpt)
+                outs = []
+                ns = self._walk_subtree(_template, p, s, x, y, c, outs)
+                return outs, ns
+
+            if ctx.rng is None:
+                outs_st, ns_st = jax.vmap(
+                    lambda p, s, x: run(p, s, x, None))(p_st, s_st, x_st)
+            else:
+                # Distinct per-member dropout streams (the serial path folds
+                # each member's own uids; here the member root uid is folded
+                # on top of the shared template-relative folds).
+                keys = jnp.stack([jax.random.fold_in(ctx.rng, m._uid)
+                                  for m in members])
+                outs_st, ns_st = jax.vmap(run)(p_st, s_st, x_st, keys)
+
+            for mi, m in enumerate(members):
+                take = lambda a, _mi=mi: a[_mi]
+                for o_st, node in zip(outs_st, g["preorders"][mi]):
+                    recs[node] = self._rec_from(
+                        jax.tree_util.tree_map(take, o_st))
+                sinks_list, idx = pend[gi][mi][3], pend[gi][mi][4]
+                sinks_list[idx] = jax.tree_util.tree_map(take, ns_st)
         return recs, new_state
 
     # ------------------------------------------------------------- loss hook

@@ -65,6 +65,21 @@ def set_remat(policy):
     remat_policy = policy
 
 
+# Batch congruent sibling subtrees into one vmapped template evaluation
+# inside Net.forward (e.g. dr_tree's 8 shared-shape 5-deep tails: the
+# unrolled trace is 47 nodes; stacked it is ~12 node templates). Shrinks
+# tree HLO (remote compiles observed at 10-20+ min) and batches the many
+# small per-tail convs/matmuls into wider MXU ops. Numerics: same math,
+# vmapped -- parity covered by tests/test_stacked.py. Off by default so
+# the flagship chain-sweep programs keep their compile-cache identity.
+stacked_tails = False
+
+
+def set_stacked_tails(flag):
+    global stacked_tails
+    stacked_tails = flag
+
+
 def set_compute_dtype(dtype):
     """Set the global compute dtype (None, jnp.float32, or jnp.bfloat16)."""
     global compute_dtype

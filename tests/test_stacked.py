@@ -1,0 +1,223 @@
+"""Congruent-subtree stacking (ops.config.stacked_tails): the vmapped
+template evaluation must match the serial unrolled trace.
+
+dr_tree's 8 identical 5-deep tails (experiments.py:126-143) are the target:
+the unrolled tree trace is 47 node applications; stacked it is ~12 node
+templates, shrinking the HLO that the remote TPU compiler chews on for
+10-20+ minutes, and batching the many small per-tail convs into wider MXU
+ops. Numerically it is the same math executed under vmap, so forward values
+match bitwise on CPU and gradients agree to fp32 reorder noise."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpnn_tpu.ops import config
+from mpnn_tpu.models import ActorNet, CriticNet, SRNet, init_training
+from mpnn_tpu.models.net import Ctx
+from .test_train_e2e import pyr, rcm, reg
+
+
+@pytest.fixture
+def stacked_on():
+    config.set_stacked_tails(True)
+    yield
+    config.set_stacked_tails(False)
+
+
+def _sym_tree(net_cls, **kw):
+    """A small symmetric tree: root fans into two IDENTICALLY-SHAPED
+    branches (each rcm->reg), the shape class the stack plan groups."""
+    branch = lambda: rcm([8, 8, 8], reg(10), rcm([8, 8], reg(10)))
+    return net_cls(x0_shape=(16, 16, 3), y_shape=(10,),
+                   root=pyr(branch(), branch()), **kw)
+
+
+def _batch(seed=0, b=8):
+    k = jax.random.PRNGKey(seed)
+    x0 = jax.random.normal(k, (b, 16, 16, 3), jnp.float32)
+    y = jax.nn.one_hot(jax.random.randint(
+        jax.random.fold_in(k, 1), (b,), 0, 10), 10)
+    return x0, y
+
+
+def test_plan_groups_registry_tree_tails():
+    """The real dr_tree registry net: 8 congruent 5-deep tails (10 nodes
+    each) + congruent stem-level reg leaves must be grouped."""
+    from mpnn_tpu.experiments import dr_tree
+    net = dr_tree(ActorNet, k_cpt=0.0)((32, 32, 3), (10,))
+    plan = net._stack_plan
+    assert plan, "registry tree must produce a stack plan"
+    widths = sorted((len(g["members"]), len(g["preorders"][0]))
+                    for g in plan)
+    # The dominant group: 8 identical depth-3 tails of 10 nodes each.
+    assert (8, 10) in widths
+    # Disjointness: no tree node appears in two groups.
+    seen = set()
+    for g in plan:
+        for pre in g["preorders"]:
+            ids = {id(n) for n in pre}
+            assert not (ids & seen)
+            seen |= ids
+
+
+def test_plan_on_chain_is_reg_leaves():
+    """Chains have no congruent interior subtrees, but dr_chain's identical
+    LogReg leaves off each trunk node group."""
+    from mpnn_tpu.experiments import dr_chain
+    net = dr_chain(ActorNet, k_cpt=0.0)((32, 32, 3), (10,))
+    for g in net._stack_plan:
+        assert len(g["preorders"][0]) == 1  # leaf-only groups
+
+
+@pytest.mark.parametrize("net_cls,kw", [
+    (SRNet, {}),
+    (ActorNet, {"k_cpt": 1e-9}),
+    (CriticNet, {"k_cpt": 1e-9}),
+])
+def test_forward_and_loss_parity(stacked_on, net_cls, kw):
+    """Stacked vs serial: every Rec field and the scalar loss agree."""
+    net = _sym_tree(net_cls, **kw)
+    params, state, _ = init_training(net, seed=3)
+    x0, y = _batch()
+    ctx = Ctx(train=True, tau=0.8, eps=1e-6, k_cpt=1e-9)
+
+    config.set_stacked_tails(False)
+    recs_s, ns_s = net.forward(params, state, x0, y, ctx)
+    loss_s = net.loss(recs_s, len(x0), ctx)
+    config.set_stacked_tails(True)
+    recs_v, ns_v = net.forward(params, state, x0, y, ctx)
+    loss_v = net.loss(recs_v, len(x0), ctx)
+
+    assert set(recs_s) == set(recs_v)
+    for node in recs_s:
+        for f in ("x", "c_err", "c_mod", "router_x", "p_tr", "p_ev"):
+            a, b = getattr(recs_s[node], f), getattr(recs_v[node], f)
+            if a is None:
+                assert b is None, f
+                continue
+            la = jax.tree_util.tree_leaves(a)
+            lb = jax.tree_util.tree_leaves(b)
+            assert len(la) == len(lb), f
+            for xa, xb in zip(la, lb):
+                np.testing.assert_allclose(
+                    np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+                    rtol=2e-6, atol=2e-7,
+                    err_msg=f"node{node._uid}.{f}")
+    np.testing.assert_allclose(np.asarray(loss_s), np.asarray(loss_v),
+                               rtol=2e-6, atol=0)
+    # New-state pytrees (BN EMA updates) agree leaf-by-leaf.
+    flat_s = jax.tree_util.tree_leaves_with_path(ns_s)
+    flat_v = dict(jax.tree_util.tree_leaves_with_path(ns_v))
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_v[path]),
+                                   rtol=2e-6, atol=2e-7,
+                                   err_msg=str(path))
+
+
+def test_grad_parity(stacked_on):
+    """d(loss)/d(params) agrees between the stacked and serial traces to
+    fp32 reorder noise (vmapped conv reductions reassociate)."""
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=5)
+    x0, y = _batch(seed=7)
+    ctx = Ctx(train=True, tau=1.0, eps=1e-6, k_cpt=1e-9)
+
+    def loss_fn(p):
+        recs, _ = net.forward(p, state, x0, y, ctx)
+        return net.loss(recs, len(x0), ctx)
+
+    config.set_stacked_tails(False)
+    g_s = jax.grad(loss_fn)(params)
+    config.set_stacked_tails(True)
+    g_v = jax.grad(loss_fn)(params)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=str(path))
+
+
+def test_jitted_train_step_trajectory(stacked_on, synth_dataset):
+    """A few jitted train steps track the serial trajectory closely (exact
+    bitwise equality is NOT expected -- vmapped convs reassociate fp32)."""
+    from mpnn_tpu.models import Schedules, make_train_step
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+
+    def run(flag):
+        config.set_stacked_tails(flag)
+        params, state, vel = init_training(net, seed=0)
+        step = make_train_step(net, 16, Schedules(lr=lambda t: 0.02))
+        x0_tr, y_tr, m_sym = synth_dataset.train_arrays
+        rng = jax.random.PRNGKey(4)
+        cs = []
+        for t in range(3):
+            params, state, vel, c = step(params, state, vel, t, rng,
+                                         x0_tr, y_tr, m_sym)
+            cs.append(float(c))
+        return cs, params
+
+    cs_s, p_s = run(False)
+    cs_v, p_v = run(True)
+    np.testing.assert_allclose(cs_s, cs_v, rtol=1e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_s),
+            jax.tree_util.tree_leaves_with_path(p_v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=str(path))
+
+
+def test_dropout_streams_distinct_per_member(stacked_on):
+    """With identical params in two congruent branches, train-mode dropout
+    must draw DIFFERENT masks per member (the member-root uid is folded on
+    top of the shared template stream) -- and be deterministic per rng."""
+    from mpnn_tpu.ops import (Chain, LinTrans, Rect, Softmax, Dropout,
+                              CrossEntropyError, Select, ToPyramid)
+    leaf = lambda: Chain(name="DropReg", comps=[
+        Select(i=-1), LinTrans(n_chan=10, k_l2=0.0), Dropout(λ=0.5),
+        Softmax(), CrossEntropyError()])
+    net = SRNet(x0_shape=(8, 8, 3), y_shape=(10,),
+                root=Chain(name="Stem", comps=[ToPyramid(n_scales=1)],
+                           sinks=(leaf(), leaf()),
+                           router=None))
+    params, state, _ = init_training(net, seed=0)
+    # Copy branch 0's params into branch 1 so only the rng stream differs.
+    params["sinks"][1] = jax.tree_util.tree_map(lambda a: a,
+                                                params["sinks"][0])
+    x0 = jnp.ones((4, 8, 8, 3))
+    y = jnp.eye(10)[:4]
+    rng = jax.random.PRNGKey(11)
+    ctx = Ctx(train=True, rng=rng, tau=1.0)
+
+    assert net._stack_plan and len(net._stack_plan[0]["members"]) == 2
+    recs, _ = net.forward(params, state, x0, y, ctx)
+    leaves = list(net.leaves)
+    a = np.asarray(recs[leaves[0]].x)
+    b = np.asarray(recs[leaves[1]].x)
+    assert not np.allclose(a, b), "members must draw distinct dropout masks"
+    # Deterministic for a fixed rng.
+    recs2, _ = net.forward(params, state, x0, y, ctx)
+    np.testing.assert_array_equal(a, np.asarray(recs2[leaves[0]].x))
+
+
+def test_stacked_eval_split_matches_serial(stacked_on, synth_dataset):
+    """The scan evaluator under stacking equals the serial evaluator."""
+    from mpnn_tpu.models import make_eval_split_fn
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=2)
+    x0s, ys, mask, n = synth_dataset.padded_split("ts", 32)
+
+    config.set_stacked_tails(False)
+    sums_s = make_eval_split_fn(net, 32)(params, state, x0s, ys, mask,
+                                         1.0, 1e-9)
+    config.set_stacked_tails(True)
+    sums_v = make_eval_split_fn(net, 32)(params, state, x0s, ys, mask,
+                                         1.0, 1e-9)
+    assert set(sums_s) == set(sums_v)
+    for k in sums_s:
+        np.testing.assert_allclose(np.asarray(sums_s[k]),
+                                   np.asarray(sums_v[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)

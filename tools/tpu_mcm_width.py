@@ -59,20 +59,24 @@ def main():
         # one tile's pyramid + fp32 accumulators stay within budget.
         tile = max(1, min(4, (64 * 16 * 16) // (H * H * max(C // 16, 1))))
 
+        # The scan body must DEPEND on the carry (the first version didn't:
+        # XLA hoisted the loop-invariant stage out of the scan and all
+        # configs measured a flat ~560 us of dispatch+sync, C-independent).
+        # Feed the previous output back into the finest input scale.
         def run_xla(xs):
             def body(c, _):
-                o = mcm_xla(xs, whs, wvs, bs)
-                return c + o[-1].astype(jnp.float32).sum(), None
-            s, _ = lax.scan(body, jnp.float32(0), None, length=K)
-            return s
+                o = mcm_xla([xs[0] + c, xs[1]], whs, wvs, bs)
+                return o[0].astype(xs[0].dtype), None
+            s, _ = lax.scan(body, jnp.zeros_like(xs[0]), None, length=K)
+            return s.astype(jnp.float32).sum()
 
         def run_pallas(xs):
             def body(c, _):
-                o = fused_mcm_forward(xs, whs, wvs, bs, SUPP,
-                                      batch_tile=tile)
-                return c + o[-1].astype(jnp.float32).sum(), None
-            s, _ = lax.scan(body, jnp.float32(0), None, length=K)
-            return s
+                o = fused_mcm_forward([xs[0] + c, xs[1]], whs, wvs, bs,
+                                      SUPP, batch_tile=tile)
+                return o[0].astype(xs[0].dtype), None
+            s, _ = lax.scan(body, jnp.zeros_like(xs[0]), None, length=K)
+            return s.astype(jnp.float32).sum()
 
         for tag, fn in (("xla", run_xla), ("pallas", run_pallas)):
             try:

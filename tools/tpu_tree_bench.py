@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--n-chunks", type=int, default=3)
     ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--stacked", action="store_true",
+                    help="evaluate congruent tree tails as one vmapped "
+                         "template (ops.config.stacked_tails)")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +42,8 @@ def main():
     from mpnn_tpu.ops import config
     config.set_compute_dtype(jnp.bfloat16)
     config.set_analytic_l2(True)
+    if args.stacked:
+        config.set_stacked_tails(True)
 
     from mpnn_tpu.experiments import ac_tree, λ_lrn, τ_ds
     from mpnn_tpu.models import Schedules, init_training
@@ -56,8 +61,10 @@ def main():
     chunk = args.chunk
 
     def time_loop(tag, run, carry):
+        tc = time.perf_counter()
         carry, cs = run(carry, 0)
         np.asarray(cs)  # compile + warmup
+        compile_s = time.perf_counter() - tc
         t0 = time.perf_counter()
         t = chunk
         for _ in range(args.n_chunks):
@@ -66,7 +73,8 @@ def main():
         np.asarray(cs)
         dt = time.perf_counter() - t0
         us = dt / (args.n_chunks * chunk) * 1e6
-        print(json.dumps({"config": tag, "us_per_step": round(us, 1)}),
+        print(json.dumps({"config": tag, "us_per_step": round(us, 1),
+                          "compile_warmup_s": round(compile_s, 1)}),
               flush=True)
 
     widths = [int(w) for w in args.widths.split(",")]
