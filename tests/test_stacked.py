@@ -203,6 +203,32 @@ def test_dropout_streams_distinct_per_member(stacked_on):
     np.testing.assert_array_equal(a, np.asarray(recs2[leaves[0]].x))
 
 
+def test_dyn_kcpt_tree_parity(stacked_on):
+    """dyn_k_cpt appends the per-example cost feature to every router input
+    (models/routed.py:_router_input); under the stacked vmap ctx.k_cpt is
+    closed over, not batched -- loss and grads must still match serial."""
+    net = _sym_tree(ActorNet, k_cpt=0.0, dyn_k_cpt=True)
+    params, state, _ = init_training(net, seed=1)
+    x0, y = _batch(seed=2)
+    k_cpt = jnp.asarray(np.linspace(0.0, 6.4e-8, len(x0)), jnp.float32)
+    ctx = Ctx(train=True, tau=0.9, eps=1e-6, k_cpt=k_cpt)
+
+    def loss_fn(p):
+        recs, _ = net.forward(p, state, x0, y, ctx)
+        return net.loss(recs, len(x0), ctx)
+
+    config.set_stacked_tails(False)
+    l_s, g_s = jax.value_and_grad(loss_fn)(params)
+    config.set_stacked_tails(True)
+    l_v, g_v = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(np.asarray(l_s), np.asarray(l_v), rtol=2e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_s),
+            jax.tree_util.tree_leaves_with_path(g_v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(path))
+
+
 def test_stacked_eval_split_matches_serial(stacked_on, synth_dataset):
     """The scan evaluator under stacking equals the serial evaluator."""
     from mpnn_tpu.models import make_eval_split_fn
