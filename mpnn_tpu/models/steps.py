@@ -289,7 +289,22 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
     chips), and when the mesh has a data axis >1 each per-step batch is
     additionally split over 'data' (gradient psum over 'data' only).
     Sweep members must tile the 'sweep' axis. Validated vs the meshless
-    path in tests/test_parallel.py."""
+    path in tests/test_parallel.py.
+
+    ops.config.stacked_tails composes with the MESHLESS sweep (measured
+    on-chip: a 67% regression -- docs/perf.md -- so don't) but NOT with a
+    sweep mesh: JAX's conv batching rule raises NotImplementedError when
+    the weights carry two vmap batch dims under an explicit out-sharding
+    (jax/_src/lax/convolution.py batching with out_sharding). Fail loud
+    here rather than deep in the trace."""
+    from ..ops import config as _ops_config
+    if mesh is not None and _ops_config.stacked_tails:
+        raise ValueError(
+            "stacked_tails cannot compose with a sweep mesh (upstream JAX "
+            "conv batching limitation under double-vmap + sharding), and "
+            "is a measured regression under the sweep vmap anyway -- see "
+            "docs/perf.md. Disable ops.config.stacked_tails (drop "
+            "--stacked-tails) for --vmap-sweep runs.")
     step = _train_step_body(net, batch_size, schedules, r_shift, None,
                             presampled=True)
     # axes: params, state, vel mapped; t, rng, xb, yb, m_sym shared;

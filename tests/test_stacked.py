@@ -229,6 +229,25 @@ def test_dyn_kcpt_tree_parity(stacked_on):
                                    rtol=1e-4, atol=1e-6, err_msg=str(path))
 
 
+def test_stacked_sweep_mesh_fails_loud(stacked_on, synth_dataset):
+    """stacked_tails × sweep mesh is unsupported (upstream JAX conv
+    batching under double-vmap + sharding raises NotImplementedError deep
+    in the trace) AND a measured on-chip regression under the sweep vmap;
+    make_sweep_train_loop must reject the combination up front. The
+    MESHLESS sweep × stacked composition works (measured, docs/perf.md)
+    and stays allowed."""
+    from mpnn_tpu.models import Schedules
+    from mpnn_tpu.models.steps import make_sweep_train_loop
+    from mpnn_tpu.parallel import make_sweep_mesh
+    net = _sym_tree(ActorNet, k_cpt=0.0)
+    config.set_stacked_tails(True)
+    with pytest.raises(ValueError, match="stacked_tails"):
+        make_sweep_train_loop(net, 16, Schedules(lr=lambda t: 0.05),
+                              mesh=make_sweep_mesh(n_sweep=4, n_data=2))
+    # Meshless stays allowed.
+    make_sweep_train_loop(net, 16, Schedules(lr=lambda t: 0.05))
+
+
 def test_stacked_eval_split_matches_serial(stacked_on, synth_dataset):
     """The scan evaluator under stacking equals the serial evaluator."""
     from mpnn_tpu.models import make_eval_split_fn
