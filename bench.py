@@ -60,6 +60,13 @@ def main():
     from mpnn_tpu.ops import config
     config.set_compute_dtype(jnp.bfloat16)
     config.set_analytic_l2(True)
+    # Measurement knob: stack the chain's congruent early-exit LogReg
+    # leaves (4 pairs) into vmapped templates. Measured NEUTRAL on-chip
+    # (317.1k vs 319.3k img/s plain -- the tiny head matmuls are already
+    # amortized by the sweep vmap; docs/perf.md), so the production path
+    # keeps it off.
+    if os.environ.get("MPNN_BENCH_STACKED") == "1":
+        config.set_stacked_tails(True)
 
     from mpnn_tpu.experiments import ac_chain, λ_lrn, τ_ds, batch_size, \
         k_cpts
