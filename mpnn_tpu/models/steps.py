@@ -292,19 +292,24 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
     path in tests/test_parallel.py.
 
     ops.config.stacked_tails composes with the MESHLESS sweep (measured
-    on-chip: a 67% regression -- docs/perf.md -- so don't) but NOT with a
-    sweep mesh: JAX's conv batching rule raises NotImplementedError when
-    the weights carry two vmap batch dims under an explicit out-sharding
-    (jax/_src/lax/convolution.py batching with out_sharding). Fail loud
-    here rather than deep in the trace."""
-    from ..ops import config as _ops_config
-    if mesh is not None and _ops_config.stacked_tails:
-        raise ValueError(
-            "stacked_tails cannot compose with a sweep mesh (upstream JAX "
-            "conv batching limitation under double-vmap + sharding), and "
-            "is a measured regression under the sweep vmap anyway -- see "
-            "docs/perf.md. Disable ops.config.stacked_tails (drop "
-            "--stacked-tails) for --vmap-sweep runs.")
+    on-chip: neutral for the flagship chain's leaf-only groups, a 67%
+    regression for the 8-TREE sweep's conv-bearing tails -- docs/perf.md)
+    but NOT with a sweep mesh: JAX's conv batching rule raises
+    NotImplementedError when the weights carry two vmap batch dims under
+    an explicit out-sharding (jax/_src/lax/convolution.py batching with
+    out_sharding). Fail loud here (and again at trace time, since the
+    flag is mutable) rather than deep in the trace."""
+    def _reject_stacked_mesh():
+        if mesh is not None and ops_config.stacked_tails:
+            raise ValueError(
+                "stacked_tails cannot compose with a sweep mesh (upstream "
+                "JAX conv batching limitation under double-vmap + "
+                "sharding); for TREE sweeps it is also a measured "
+                "regression even meshless -- see docs/perf.md. Disable "
+                "ops.config.stacked_tails (drop --stacked-tails) for "
+                "--vmap-sweep runs.")
+
+    _reject_stacked_mesh()
     step = _train_step_body(net, batch_size, schedules, r_shift, None,
                             presampled=True)
     # axes: params, state, vel mapped; t, rng, xb, yb, m_sym shared;
@@ -317,6 +322,10 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
         base_vstep = vstep
 
         def vstep(p, s, v, t, rng, xb, yb, m_sym, k):
+            # The flag is mutable global config: re-check at trace time so
+            # a construct-then-enable sequence still fails loud instead of
+            # dying in JAX's conv batching rule.
+            _reject_stacked_mesh()
             # Pin the carried trees to the per-net placement so GSPMD
             # never gathers a whole net onto one device mid-scan; the
             # shared batch is split over 'data' (no-op when data=1).

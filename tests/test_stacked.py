@@ -174,7 +174,7 @@ def test_dropout_streams_distinct_per_member(stacked_on):
     """With identical params in two congruent branches, train-mode dropout
     must draw DIFFERENT masks per member (the member-root uid is folded on
     top of the shared template stream) -- and be deterministic per rng."""
-    from mpnn_tpu.ops import (Chain, LinTrans, Rect, Softmax, Dropout,
+    from mpnn_tpu.ops import (Chain, LinTrans, Softmax, Dropout,
                               CrossEntropyError, Select, ToPyramid)
     leaf = lambda: Chain(name="DropReg", comps=[
         Select(i=-1), LinTrans(n_chan=10, k_l2=0.0), Dropout(λ=0.5),
@@ -246,6 +246,25 @@ def test_stacked_sweep_mesh_fails_loud(stacked_on, synth_dataset):
                               mesh=make_sweep_mesh(n_sweep=4, n_data=2))
     # Meshless stays allowed.
     make_sweep_train_loop(net, 16, Schedules(lr=lambda t: 0.05))
+
+    # The flag is mutable config: constructing with it OFF then enabling
+    # it before the first call must ALSO fail loud (trace-time re-check),
+    # not die in JAX's conv batching rule.
+    from mpnn_tpu.models.steps import stack_trees
+    from mpnn_tpu.parallel import shard_sweep_tree
+    config.set_stacked_tails(False)
+    mesh = make_sweep_mesh(n_sweep=4, n_data=2)
+    loop = make_sweep_train_loop(net, 16, Schedules(lr=lambda t: 0.05),
+                                 sample_tile=3, mesh=mesh)
+    members = [init_training(net, seed=i) for i in range(4)]
+    p = shard_sweep_tree(stack_trees([m[0] for m in members]), mesh)
+    s = shard_sweep_tree(stack_trees([m[1] for m in members]), mesh)
+    v = shard_sweep_tree(stack_trees([m[2] for m in members]), mesh)
+    config.set_stacked_tails(True)
+    x0_tr, y_tr, m_sym = synth_dataset.train_arrays
+    with pytest.raises(ValueError, match="stacked_tails"):
+        loop(p, s, v, 0, jax.random.PRNGKey(5), x0_tr, y_tr, m_sym, 2,
+             jnp.zeros((4,), jnp.float32))
 
 
 def test_stacked_eval_split_matches_serial(stacked_on, synth_dataset):
