@@ -187,6 +187,74 @@ class Net:
                 covered.update(id(n) for n in _subtree_nodes(m))
         self._stack_plan = plan
 
+    # -------------------------------------------- packed (pre-stacked) layout
+
+    def _member_at(self):
+        """id(member node) -> (group index, member index) for the plan."""
+        return {id(m): (gi, mi)
+                for gi, g in enumerate(self._stack_plan)
+                for mi, m in enumerate(g["members"])}
+
+    def pack_tree(self, tree, axis=0):
+        """Re-layout a node-structured pytree (params/state/vel/grads all
+        share the node-dict structure) into the PACKED form
+
+            {"tree": <node tree with each group member's subtree replaced
+                      by an empty dict>,
+             "groups": [<one member-stacked subtree per plan group>]}
+
+        so scan-chained training can carry group members' params PRE-STACKED
+        and forward() skips the per-step jnp.stack/unstack copies of the
+        tail params (the measured cost that made stacked_tails regress 67%
+        under the sweep vmap -- docs/perf.md). `axis` is where the member
+        axis lands in the stacked leaves: 0 normally, 1 when the leaves
+        already carry a leading sweep axis (make_sweep_train_loop)."""
+        member_at = self._member_at()
+        groups = [[None] * len(g["members"]) for g in self._stack_plan]
+
+        def walk(node, t):
+            out = {"layer": t["layer"], "router": t["router"], "sinks": []}
+            for i, snk in enumerate(node.sinks):
+                at = member_at.get(id(snk))
+                if at is not None:
+                    groups[at[0]][at[1]] = t["sinks"][i]
+                    out["sinks"].append({})
+                else:
+                    out["sinks"].append(walk(snk, t["sinks"][i]))
+            return out
+
+        tree2 = walk(self.root, tree)
+        g_st = [jax.tree_util.tree_map(
+                    lambda *l: jnp.stack(l, axis=axis), *g)
+                for g in groups]
+        return {"tree": tree2, "groups": g_st}
+
+    def unpack_tree(self, packed, axis=0):
+        """Inverse of pack_tree: slice each member back out of its group
+        stack and graft it into the node tree."""
+        member_at = self._member_at()
+
+        def walk(node, t):
+            out = {"layer": t["layer"], "router": t["router"], "sinks": []}
+            for i, snk in enumerate(node.sinks):
+                at = member_at.get(id(snk))
+                if at is not None:
+                    gi, mi = at
+                    out["sinks"].append(jax.tree_util.tree_map(
+                        lambda a, _mi=mi: jax.lax.index_in_dim(
+                            a, _mi, axis=axis, keepdims=False),
+                        packed["groups"][gi]))
+                else:
+                    out["sinks"].append(walk(snk, t["sinks"][i]))
+            return out
+
+        return walk(self.root, packed["tree"])
+
+    @staticmethod
+    def is_packed(tree):
+        """True for pytrees in pack_tree's {"tree", "groups"} layout."""
+        return isinstance(tree, dict) and "groups" in tree
+
     # -------------------------------------------------------------- iterators
 
     @property
@@ -285,11 +353,22 @@ class Net:
         (the build-time _stack_plan) are evaluated as ONE vmapped template
         over stacked params/state/inputs instead of being unrolled node by
         node in the trace; the stacked results are sliced back into the
-        per-node record table, so routing/loss/stats code is unaffected."""
+        per-node record table, so routing/loss/stats code is unaffected.
+
+        params/state may also arrive in pack_tree's PACKED layout (group
+        members' params carried pre-stacked, member axis leading): then the
+        group runs consume the stacks directly -- no per-call jnp.stack of
+        tail params -- and new_state is returned packed. The scan-chained
+        train loops pack once per chunk instead of once per step."""
         from ..ops import config
+        packed = self.is_packed(params)
+        if packed:
+            assert self.is_packed(state), "params packed but state is not"
+            assert config.stacked_tails, \
+                "packed params require ops.config.stacked_tails"
         if config.compute_dtype is not None:
             x0 = x0.astype(config.compute_dtype)
-        plan = self._stack_plan if config.stacked_tails else []
+        plan = self._stack_plan if (config.stacked_tails or packed) else []
         group_of = {id(m): (gi, mi)
                     for gi, g in enumerate(plan)
                     for mi, m in enumerate(g["members"])}
@@ -303,22 +382,33 @@ class Net:
             for i, snk in enumerate(node.sinks):
                 at = group_of.get(id(snk))
                 if at is not None:
-                    ns["sinks"].append(None)  # filled by the group run below
-                    pend[at[0]][at[1]] = (p["sinks"][i], s["sinks"][i],
-                                          o["x"], ns["sinks"], i)
+                    # Packed: the member slot stays an empty dict; unpacked:
+                    # filled by the group run below.
+                    ns["sinks"].append({} if packed else None)
+                    pend[at[0]][at[1]] = (
+                        None if packed else p["sinks"][i],
+                        None if packed else s["sinks"][i],
+                        o["x"], ns["sinks"], i)
                 else:
                     ns["sinks"].append(
                         fwd(snk, p["sinks"][i], s["sinks"][i], o["x"]))
             return ns
 
-        new_state = fwd(self.root, params, state, x0)
+        new_tree = fwd(self.root, params["tree"] if packed else params,
+                       state["tree"] if packed else state, x0)
+        ns_groups = []
 
         for gi, g in enumerate(plan):
             members = g["members"]
             template = members[0]
             stack = lambda *leaves: jnp.stack(leaves)
-            p_st = jax.tree_util.tree_map(stack, *[e[0] for e in pend[gi]])
-            s_st = jax.tree_util.tree_map(stack, *[e[1] for e in pend[gi]])
+            if packed:
+                p_st, s_st = params["groups"][gi], state["groups"][gi]
+            else:
+                p_st = jax.tree_util.tree_map(
+                    stack, *[e[0] for e in pend[gi]])
+                s_st = jax.tree_util.tree_map(
+                    stack, *[e[1] for e in pend[gi]])
             x_st = jax.tree_util.tree_map(stack, *[e[2] for e in pend[gi]])
 
             def run(p, s, x, rng, _template=template):
@@ -344,8 +434,13 @@ class Net:
                 for o_st, node in zip(outs_st, g["preorders"][mi]):
                     recs[node] = self._rec_from(
                         jax.tree_util.tree_map(take, o_st))
-                sinks_list, idx = pend[gi][mi][3], pend[gi][mi][4]
-                sinks_list[idx] = jax.tree_util.tree_map(take, ns_st)
+                if not packed:
+                    sinks_list, idx = pend[gi][mi][3], pend[gi][mi][4]
+                    sinks_list[idx] = jax.tree_util.tree_map(take, ns_st)
+            if packed:
+                ns_groups.append(ns_st)
+        new_state = ({"tree": new_tree, "groups": ns_groups} if packed
+                     else new_tree)
         return recs, new_state
 
     # ------------------------------------------------------------- loss hook

@@ -24,24 +24,64 @@ def talr_scale_grads(net, grads, p_tr_by_uid, alpha_rtr=1.0, talr=True):
 
     p_tr_by_uid maps str(node._uid) -> that node's (B,) training path
     probability from the same forward pass whose gradients these are (the
-    reference uses the same graph's p_tr, scripts/lib/net_types.py:25-27)."""
+    reference uses the same graph's p_tr, scripts/lib/net_types.py:25-27).
+
+    Also accepts pack_tree's PACKED layout (group members' grads stacked
+    with a leading member axis): pruned member slots stay empty dicts and
+    each group stack is scaled by a per-template-node (G,) vector of its
+    members' factors, broadcast over the param dims."""
+
+    def scale_of(node):
+        p_tr = p_tr_by_uid[str(node._uid)]
+        return 1.0 / jnp.sqrt(jnp.mean(jnp.square(p_tr)))
+
+    packed = net.is_packed(grads)
+    member_ids = ({id(m) for g in net._stack_plan for m in g["members"]}
+                  if packed else set())
 
     def visit(node, g):
-        if talr:
-            p_tr = p_tr_by_uid[str(node._uid)]
-            s = 1.0 / jnp.sqrt(jnp.mean(jnp.square(p_tr)))
-        else:
-            s = 1.0
+        s = scale_of(node) if talr else 1.0
         out = {
             "layer": jax.tree.map(lambda a: s * a, g["layer"]),
             "router": jax.tree.map(lambda a: (alpha_rtr * s) * a,
                                    g["router"]),
-            "sinks": [visit(snk, gs)
+            "sinks": [({} if id(snk) in member_ids else visit(snk, gs))
                       for snk, gs in zip(node.sinks, g["sinks"])],
         }
         return out
 
-    return visit(net.root, grads)
+    if not packed:
+        return visit(net.root, grads)
+
+    out_groups = []
+    for g, g_grads in zip(net._stack_plan, grads["groups"]):
+        pres = g["preorders"]  # [member][preorder j] -> tree node
+        n_mem = len(g["members"])
+        pos = [0]  # template-relative preorder cursor
+
+        def gvisit(tnode, gg):
+            j = pos[0]
+            pos[0] += 1
+            if talr:
+                s = jnp.stack([scale_of(pres[mi][j])
+                               for mi in range(n_mem)])
+            else:
+                s = jnp.ones((n_mem,), jnp.float32)
+
+            def mul(a, extra=1.0):
+                return a * (extra * s).reshape(
+                    (n_mem,) + (1,) * (a.ndim - 1))
+
+            return {
+                "layer": jax.tree.map(mul, gg["layer"]),
+                "router": jax.tree.map(
+                    lambda a: mul(a, extra=alpha_rtr), gg["router"]),
+                "sinks": [gvisit(ts, gs) for ts, gs in
+                          zip(tnode.sinks, gg["sinks"])],
+            }
+
+        out_groups.append(gvisit(g["members"][0], g_grads))
+    return {"tree": visit(net.root, grads["tree"]), "groups": out_groups}
 
 
 
@@ -52,14 +92,20 @@ def tree_l2_decay(net, params, grads, p_tr_by_uid):
     sg(p_tr) weighting of the c_mod loss term, scripts/lib/
     net_types.py:171-173,277-279) or 1.0 for SR nets. Exactly equal to
     differentiating the in-graph c_mod (tests/test_analytic_l2.py) while
-    removing ~one forward reduction per weight tensor."""
+    removing ~one forward reduction per weight tensor.
+
+    Accepts pack_tree's PACKED layout like talr_scale_grads: group stacks
+    get a per-template-node (G,) coefficient vector (each member's own
+    mean p_tr) broadcast over the param dims, and the loss value sums the
+    members' contributions -- exactly what the serial member walk adds."""
     value = jnp.float32(0.0)
 
-    def layer_mod(layer, p, g, coeff):
+    def layer_mod(layer, p, g, coeff, vec_n=None):
+        # coeff: scalar, or a (G,) per-member vector when vec_n == G.
         nonlocal value
         if layer.comps:
             out = dict(g)
-            out["comps"] = [layer_mod(c, pc, gc, coeff)
+            out["comps"] = [layer_mod(c, pc, gc, coeff, vec_n)
                             for c, pc, gc in
                             zip(layer.comps, p["comps"], g["comps"])]
             return out
@@ -70,25 +116,67 @@ def tree_l2_decay(net, params, grads, p_tr_by_uid):
                 continue
             weqa = (jnp.float32(0.0) if weq is None
                     else jnp.asarray(weq, jnp.float32))
-            diff = p[name] - weqa
-            out[name] = g[name] + coeff * (2.0 * k2) * diff
-            value = value + coeff * k2 * jnp.sum(jnp.square(diff))
+            diff = p[name] - weqa  # weq broadcasts over a leading member axis
+            if vec_n is None:
+                out[name] = g[name] + coeff * (2.0 * k2) * diff
+                value = value + coeff * k2 * jnp.sum(jnp.square(diff))
+            else:
+                c = coeff.reshape((vec_n,) + (1,) * (diff.ndim - 1))
+                out[name] = g[name] + c * (2.0 * k2) * diff
+                value = value + k2 * jnp.sum(coeff * jnp.sum(
+                    jnp.square(diff),
+                    axis=tuple(range(1, diff.ndim))))
         return out
 
-    def node_mod(node, p, g):
+    def coeff_of(node):
         uid = str(node._uid)
-        coeff = (jnp.mean(p_tr_by_uid[uid]) if uid in p_tr_by_uid
-                 else jnp.float32(1.0))
+        return (jnp.mean(p_tr_by_uid[uid]) if uid in p_tr_by_uid
+                else jnp.float32(1.0))
+
+    packed = net.is_packed(grads)
+    member_ids = ({id(m) for g in net._stack_plan for m in g["members"]}
+                  if packed else set())
+
+    def node_mod(node, p, g):
+        coeff = coeff_of(node)
         return {
             "layer": layer_mod(node, p["layer"], g["layer"], coeff),
             "router": (layer_mod(node.router, p["router"], g["router"],
                                  coeff)
                        if node.router is not None else g["router"]),
-            "sinks": [node_mod(s, ps, gs) for s, ps, gs in
+            "sinks": [({} if id(s) in member_ids else node_mod(s, ps, gs))
+                      for s, ps, gs in
                       zip(node.sinks, p["sinks"], g["sinks"])],
         }
 
-    return node_mod(net.root, params, grads), value
+    if not packed:
+        return node_mod(net.root, params, grads), value
+
+    out_groups = []
+    for grp, g_params, g_grads in zip(net._stack_plan, params["groups"],
+                                      grads["groups"]):
+        pres = grp["preorders"]
+        n_mem = len(grp["members"])
+        pos = [0]
+
+        def gmod(tnode, p, g):
+            j = pos[0]
+            pos[0] += 1
+            coeff = jnp.stack([coeff_of(pres[mi][j])
+                               for mi in range(n_mem)])
+            return {
+                "layer": layer_mod(tnode, p["layer"], g["layer"], coeff,
+                                   vec_n=n_mem),
+                "router": (layer_mod(tnode.router, p["router"],
+                                     g["router"], coeff, vec_n=n_mem)
+                           if tnode.router is not None else g["router"]),
+                "sinks": [gmod(ts, ps, gs) for ts, ps, gs in
+                          zip(tnode.sinks, p["sinks"], g["sinks"])],
+            }
+
+        out_groups.append(gmod(grp["members"][0], g_params, g_grads))
+    return ({"tree": node_mod(net.root, params["tree"], grads["tree"]),
+             "groups": out_groups}, value)
 
 
 def momentum_init(params):

@@ -204,15 +204,30 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
     ops) measured 10x SLOWER -- every conv weight sliced out of a flat
     buffer needs a re-layout copy each step, which costs far more than the
     small update fusions save. Do not re-attempt without solving layouts.
+
+    Under ops.config.stacked_tails the carry runs in net.pack_tree's PACKED
+    layout: group members' params/state/vel are stacked ONCE at chunk entry
+    and sliced back at chunk exit, so each step's forward consumes the
+    stacks directly instead of re-stacking (and un-stacking, in backward)
+    the tail params every step. Host-facing arguments/results stay in the
+    plain node layout -- serdes/stats/eval never see packed trees.
     """
     step = _train_step_body(net, batch_size, schedules, r_shift, mesh,
                             presampled=True)
 
     def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
              k_cpt=None):
-        return _tiled_scan_loop(step, batch_size, sample_tile,
-                                (params, state, vel), t0, rng,
-                                x0_tr, y_tr, m_sym, n_steps, k_cpt)
+        pack = ops_config.stacked_tails and bool(net._stack_plan)
+        if pack:
+            params, state, vel = (net.pack_tree(t)
+                                  for t in (params, state, vel))
+        params, state, vel, cs = _tiled_scan_loop(
+            step, batch_size, sample_tile, (params, state, vel), t0, rng,
+            x0_tr, y_tr, m_sym, n_steps, k_cpt)
+        if pack:
+            params, state, vel = (net.unpack_tree(t)
+                                  for t in (params, state, vel))
+        return params, state, vel, cs
 
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
 
@@ -339,9 +354,23 @@ def make_sweep_train_loop(net, batch_size, schedules, r_shift=4,
 
     def loop(params_s, state_s, vel_s, t0, rng, x0_tr, y_tr, m_sym,
              n_steps, k_cpts):
-        return _tiled_scan_loop(vstep, batch_size, sample_tile,
-                                (params_s, state_s, vel_s), t0, rng,
-                                x0_tr, y_tr, m_sym, n_steps, k_cpts)
+        # Pre-stack grouped tails across the chunk (see make_train_loop);
+        # the member axis lands AFTER the leading sweep axis (axis=1) so
+        # the per-net vmap still maps axis 0 of every carried leaf.
+        pack = (mesh is None and ops_config.stacked_tails
+                and bool(net._stack_plan))
+        if pack:
+            params_s, state_s, vel_s = (net.pack_tree(t, axis=1)
+                                        for t in (params_s, state_s,
+                                                  vel_s))
+        params_s, state_s, vel_s, cs = _tiled_scan_loop(
+            vstep, batch_size, sample_tile, (params_s, state_s, vel_s),
+            t0, rng, x0_tr, y_tr, m_sym, n_steps, k_cpts)
+        if pack:
+            params_s, state_s, vel_s = (net.unpack_tree(t, axis=1)
+                                        for t in (params_s, state_s,
+                                                  vel_s))
+        return params_s, state_s, vel_s, cs
 
     return jax.jit(loop, static_argnums=(8,), donate_argnums=(0, 1, 2))
 

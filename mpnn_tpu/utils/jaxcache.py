@@ -11,6 +11,18 @@ import jax
 
 
 def enable(cache_dir=None):
+    # CPU executables are AOT-compiled for the exact host feature set; this
+    # sandbox's microVMs expose different sets run to run, and XLA loading a
+    # cached CPU binary built elsewhere warns of possible SIGILL. CPU
+    # compiles are seconds — only the (remote, minutes-long) TPU compiles
+    # need persistence, so skip the cache when CPU is explicitly forced.
+    # All callers force the platform before calling enable(), so reading the
+    # config (never the backend — that would initialize it) is safe.
+    try:
+        if "cpu" in str(jax.config.jax_platforms or "").lower():
+            return None
+    except Exception:
+        pass
     cache_dir = cache_dir or os.environ.get(
         "MPNN_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

@@ -267,6 +267,136 @@ def test_stacked_sweep_mesh_fails_loud(stacked_on, synth_dataset):
              jnp.zeros((4,), jnp.float32))
 
 
+def test_pack_unpack_roundtrip(stacked_on):
+    """pack_tree/unpack_tree are exact inverses for params/state/vel, at
+    member axis 0 and (sweep layout) axis 1."""
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+    assert net._stack_plan
+    trees = init_training(net, seed=9)
+    for tree in trees:
+        packed = net.pack_tree(tree)
+        assert net.is_packed(packed) and not net.is_packed(tree)
+        back = net.unpack_tree(packed)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(tree),
+                jax.tree_util.tree_leaves_with_path(back)):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # axis=1: leaves already carry a leading sweep axis.
+    sweep = jax.tree_util.tree_map(
+        lambda a: jnp.stack([a, a + 1.0]), trees[0])
+    back = net.unpack_tree(net.pack_tree(sweep, axis=1), axis=1)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(sweep),
+            jax.tree_util.tree_leaves_with_path(back)):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_forward_matches_dynamic_stacking(stacked_on):
+    """forward() on pack_tree's layout is the SAME vmapped math as the
+    per-call-stacking path: recs bitwise, new state equal after unpack."""
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+    params, state, _ = init_training(net, seed=3)
+    x0, y = _batch()
+    ctx = Ctx(train=True, tau=0.8, eps=1e-6, k_cpt=1e-9)
+
+    recs_v, ns_v = net.forward(params, state, x0, y, ctx)
+    recs_p, ns_p = net.forward(net.pack_tree(params), net.pack_tree(state),
+                               x0, y, ctx)
+    assert net.is_packed(ns_p)
+    for node in recs_v:
+        for f in ("x", "c_err", "c_mod", "router_x"):
+            a, b = getattr(recs_v[node], f), getattr(recs_p[node], f)
+            if a is None:
+                assert b is None
+                continue
+            la = jax.tree_util.tree_leaves(a)
+            lb = jax.tree_util.tree_leaves(b)
+            assert len(la) == len(lb), f
+            for xa, xb in zip(la, lb):
+                np.testing.assert_array_equal(
+                    np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+                    err_msg=f"node{node._uid}.{f}")
+    flat_v = jax.tree_util.tree_leaves_with_path(ns_v)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(
+        net.unpack_tree(ns_p)))
+    for path, leaf in flat_v:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_p[path]),
+                                      err_msg=str(path))
+
+
+@pytest.mark.parametrize("analytic_l2", [False, True])
+def test_packed_train_loop_matches_serial(stacked_on, synth_dataset,
+                                          analytic_l2):
+    """The scan-chained loop under stacked_tails (which now carries the
+    grouped tails PRE-STACKED, exercising the packed TALR / analytic-L2 /
+    momentum walks) tracks the serial loop's trajectory."""
+    from mpnn_tpu.models import Schedules
+    from mpnn_tpu.models.steps import make_train_loop
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+    x0_tr, y_tr, m_sym = synth_dataset.train_arrays
+
+    def run(flag):
+        config.set_stacked_tails(flag)
+        config.set_analytic_l2(analytic_l2)
+        try:
+            params, state, vel = init_training(net, seed=0)
+            loop = make_train_loop(net, 16, Schedules(lr=lambda t: 0.02),
+                                   sample_tile=3)
+            params, state, vel, cs = loop(
+                params, state, vel, 0, jax.random.PRNGKey(4),
+                x0_tr, y_tr, m_sym, 5)
+        finally:
+            config.set_analytic_l2(False)
+        assert not net.is_packed(params)  # host-facing layout restored
+        return np.asarray(cs), params
+
+    cs_s, p_s = run(False)
+    cs_p, p_p = run(True)
+    np.testing.assert_allclose(cs_s, cs_p, rtol=1e-4)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_s),
+            jax.tree_util.tree_leaves_with_path(p_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=str(path))
+
+
+def test_packed_sweep_loop_matches_unstacked(stacked_on, synth_dataset):
+    """The meshless vmapped k_cpt sweep with stacked_tails (grouped tails
+    carried pre-stacked at member axis 1, after the sweep axis) tracks the
+    plain sweep loop."""
+    from mpnn_tpu.models import Schedules
+    from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
+    net = _sym_tree(ActorNet, k_cpt=0.0)
+    x0_tr, y_tr, m_sym = synth_dataset.train_arrays
+    k = jnp.asarray([0.0, 1e-9, 4e-9], jnp.float32)
+
+    def run(flag):
+        config.set_stacked_tails(flag)
+        members = [init_training(net, seed=i) for i in range(3)]
+        p = stack_trees([m[0] for m in members])
+        s = stack_trees([m[1] for m in members])
+        v = stack_trees([m[2] for m in members])
+        loop = make_sweep_train_loop(net, 16,
+                                     Schedules(lr=lambda t: 0.02),
+                                     sample_tile=3)
+        p, s, v, cs = loop(p, s, v, 0, jax.random.PRNGKey(6),
+                           x0_tr, y_tr, m_sym, 5, k)
+        assert not net.is_packed(p)
+        return np.asarray(cs), p
+
+    cs_s, p_s = run(False)
+    cs_p, p_p = run(True)
+    np.testing.assert_allclose(cs_s, cs_p, rtol=1e-4, atol=1e-6)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_s),
+            jax.tree_util.tree_leaves_with_path(p_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=str(path))
+
+
 def test_stacked_eval_split_matches_serial(stacked_on, synth_dataset):
     """The scan evaluator under stacking equals the serial evaluator."""
     from mpnn_tpu.models import make_eval_split_fn

@@ -33,11 +33,20 @@ def capture(outdir):
 
     ds = Dataset(synth.make_synthetic(n_tr=50000, n_ts=512, h=32, w=32,
                                       n_cls=10, seed=0))
-    net = ac_chain(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
+    if "--tree" in sys.argv:
+        # Single-tree step (the train-adaptive-nets shape); --stacked
+        # profiles the congruent-tail vmapped-template formulation.
+        from mpnn_tpu.experiments import ac_tree
+        if "--stacked" in sys.argv:
+            config.set_stacked_tails(True)
+        net = ac_tree(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
+        chunk = 50
+    else:
+        net = ac_chain(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
+        chunk = 250
     sched = Schedules(lr=λ_lrn, tau=τ_ds)
     x0_tr, y_tr, m_sym = ds.train_arrays
     rng = jax.random.PRNGKey(0)
-    chunk = 250
 
     if "--sweep" in sys.argv:
         from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
