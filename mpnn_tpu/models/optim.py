@@ -19,6 +19,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _walk_packed_group(grp, fn, *trees):
+    """Walk one stack-plan group's member-stacked subtree(s) over the
+    TEMPLATE topology, calling fn(tnode, members, *node_dicts) at each
+    template node; fn returns that node's output dict WITHOUT "sinks"
+    (this walk fills them by recursing). `members` is the list of each
+    member's own node at the current position -- the preorder-cursor
+    bookkeeping that must stay aligned with Net._stack_plan's
+    "preorders", kept in exactly one place for all packed walks."""
+    pres = grp["preorders"]  # [member][preorder j] -> that member's node
+    n_mem = len(grp["members"])
+    pos = [0]
+
+    def rec(tnode, *ts):
+        j = pos[0]
+        pos[0] += 1
+        members = [pres[mi][j] for mi in range(n_mem)]
+        out = fn(tnode, members, *ts)
+        out["sinks"] = [rec(snk, *[t["sinks"][i] for t in ts])
+                        for i, snk in enumerate(tnode.sinks)]
+        return out
+
+    return rec(grp["members"][0], *trees)
+
+
 def talr_scale_grads(net, grads, p_tr_by_uid, alpha_rtr=1.0, talr=True):
     """Rescale a node-structured grads pytree by per-node TALR factors.
 
@@ -53,34 +77,24 @@ def talr_scale_grads(net, grads, p_tr_by_uid, alpha_rtr=1.0, talr=True):
     if not packed:
         return visit(net.root, grads)
 
-    out_groups = []
-    for g, g_grads in zip(net._stack_plan, grads["groups"]):
-        pres = g["preorders"]  # [member][preorder j] -> tree node
-        n_mem = len(g["members"])
-        pos = [0]  # template-relative preorder cursor
+    def gvisit(tnode, members, gg):
+        if talr:
+            s = jnp.stack([scale_of(m) for m in members])
+        else:
+            s = jnp.ones((len(members),), jnp.float32)
 
-        def gvisit(tnode, gg):
-            j = pos[0]
-            pos[0] += 1
-            if talr:
-                s = jnp.stack([scale_of(pres[mi][j])
-                               for mi in range(n_mem)])
-            else:
-                s = jnp.ones((n_mem,), jnp.float32)
+        def mul(a, extra=1.0):
+            return a * (extra * s).reshape(
+                (len(members),) + (1,) * (a.ndim - 1))
 
-            def mul(a, extra=1.0):
-                return a * (extra * s).reshape(
-                    (n_mem,) + (1,) * (a.ndim - 1))
+        return {
+            "layer": jax.tree.map(mul, gg["layer"]),
+            "router": jax.tree.map(
+                lambda a: mul(a, extra=alpha_rtr), gg["router"]),
+        }
 
-            return {
-                "layer": jax.tree.map(mul, gg["layer"]),
-                "router": jax.tree.map(
-                    lambda a: mul(a, extra=alpha_rtr), gg["router"]),
-                "sinks": [gvisit(ts, gs) for ts, gs in
-                          zip(tnode.sinks, gg["sinks"])],
-            }
-
-        out_groups.append(gvisit(g["members"][0], g_grads))
+    out_groups = [_walk_packed_group(g, gvisit, gg)
+                  for g, gg in zip(net._stack_plan, grads["groups"])]
     return {"tree": visit(net.root, grads["tree"]), "groups": out_groups}
 
 
@@ -152,29 +166,20 @@ def tree_l2_decay(net, params, grads, p_tr_by_uid):
     if not packed:
         return node_mod(net.root, params, grads), value
 
-    out_groups = []
-    for grp, g_params, g_grads in zip(net._stack_plan, params["groups"],
-                                      grads["groups"]):
-        pres = grp["preorders"]
-        n_mem = len(grp["members"])
-        pos = [0]
+    def gmod(tnode, members, p, g):
+        coeff = jnp.stack([coeff_of(m) for m in members])
+        n_mem = len(members)
+        return {
+            "layer": layer_mod(tnode, p["layer"], g["layer"], coeff,
+                               vec_n=n_mem),
+            "router": (layer_mod(tnode.router, p["router"],
+                                 g["router"], coeff, vec_n=n_mem)
+                       if tnode.router is not None else g["router"]),
+        }
 
-        def gmod(tnode, p, g):
-            j = pos[0]
-            pos[0] += 1
-            coeff = jnp.stack([coeff_of(pres[mi][j])
-                               for mi in range(n_mem)])
-            return {
-                "layer": layer_mod(tnode, p["layer"], g["layer"], coeff,
-                                   vec_n=n_mem),
-                "router": (layer_mod(tnode.router, p["router"],
-                                     g["router"], coeff, vec_n=n_mem)
-                           if tnode.router is not None else g["router"]),
-                "sinks": [gmod(ts, ps, gs) for ts, ps, gs in
-                          zip(tnode.sinks, p["sinks"], g["sinks"])],
-            }
-
-        out_groups.append(gmod(grp["members"][0], g_params, g_grads))
+    out_groups = [_walk_packed_group(grp, gmod, gp, gg)
+                  for grp, gp, gg in zip(net._stack_plan, params["groups"],
+                                         grads["groups"])]
     return ({"tree": node_mod(net.root, params["tree"], grads["tree"]),
              "groups": out_groups}, value)
 

@@ -10,19 +10,19 @@ import os
 import jax
 
 
-def enable(cache_dir=None):
+def enable(cache_dir=None, platform=None):
     # CPU executables are AOT-compiled for the exact host feature set; this
     # sandbox's microVMs expose different sets run to run, and XLA loading a
     # cached CPU binary built elsewhere warns of possible SIGILL. CPU
     # compiles are seconds — only the (remote, minutes-long) TPU compiles
-    # need persistence, so skip the cache when CPU is explicitly forced.
-    # All callers force the platform before calling enable(), so reading the
-    # config (never the backend — that would initialize it) is safe.
-    try:
-        if "cpu" in str(jax.config.jax_platforms or "").lower():
-            return None
-    except Exception:
-        pass
+    # need persistence, so skip the cache when the caller explicitly runs
+    # on CPU (`platform` is the CLI's --platform value; sniffing
+    # jax.config.jax_platforms instead would be wrong both ways: the env
+    # var populates it but the axon plugin ignores the env var, and
+    # priority lists like "tpu,cpu" aren't a CPU run). Tests opt out via
+    # MPNN_NO_JAX_CACHE=1 (conftest).
+    if platform == "cpu" or os.environ.get("MPNN_NO_JAX_CACHE") == "1":
+        return None
     cache_dir = cache_dir or os.environ.get(
         "MPNN_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(

@@ -9,6 +9,11 @@ import os
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
+# Tests never want the persistent compile cache: CPU AOT executables are
+# host-feature-set specific and .jax_cache persists across microVMs
+# (possible SIGILL loading another profile's binary). Subprocess tests
+# (CLI smoke, multihost, graft-entry) inherit this via the environment.
+os.environ["MPNN_NO_JAX_CACHE"] = "1"
 
 import jax  # noqa: E402
 

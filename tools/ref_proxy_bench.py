@@ -88,7 +88,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from mpnn_tpu.utils import jaxcache
-    jaxcache.enable()
+    jaxcache.enable(platform=args.platform)
     # TF1 trains in fp32; highest matmul precision = fp32 parity on TPU.
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp

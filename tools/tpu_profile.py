@@ -2,7 +2,7 @@
 """Capture a jax.profiler trace of the bench train loop on the real chip
 and print the top device ops by self time (dev tool).
 
-Usage: python tools/tpu_profile.py [outdir]
+Usage: python tools/tpu_profile.py [outdir] [--sweep] [--tree] [--stacked]
 """
 
 import glob
@@ -33,12 +33,13 @@ def capture(outdir):
 
     ds = Dataset(synth.make_synthetic(n_tr=50000, n_ts=512, h=32, w=32,
                                       n_cls=10, seed=0))
+    if "--stacked" in sys.argv:
+        # Congruent-tail vmapped-template formulation (chain leaf groups
+        # or tree tails; composes with --tree and --sweep).
+        config.set_stacked_tails(True)
     if "--tree" in sys.argv:
-        # Single-tree step (the train-adaptive-nets shape); --stacked
-        # profiles the congruent-tail vmapped-template formulation.
+        # Single-tree step (the train-adaptive-nets shape).
         from mpnn_tpu.experiments import ac_tree
-        if "--stacked" in sys.argv:
-            config.set_stacked_tails(True)
         net = ac_tree(k_cpt=1e-9)(ds.x0_shape, ds.y_shape)
         chunk = 50
     else:
@@ -122,7 +123,10 @@ def report(outdir, top=40):
 
 
 if __name__ == "__main__":
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mpnn_trace"
+    # outdir is the first non-flag argument (flags like --tree/--stacked/
+    # --sweep may come in any position).
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outdir = pos[0] if pos else "/tmp/mpnn_trace"
     capture(outdir)
     try:
         report(outdir)
