@@ -317,3 +317,62 @@ def test_mcm_op_count_matches_oracle():
                 assert comp.n_ops == oracle.mcm_n_ops(comp), comp.name
                 n_checked += 1
     assert n_checked >= 8
+
+
+@pytest.mark.parametrize("kind", ["ac", "cr"])
+def test_flagship_tree_matches_oracle(kind):
+    """The REAL registry TREE (dr_tree: 3-way fanouts at depths 0-2 with
+    5-deep congruent tails, arch_and_hypers.py:99-127 topology) against
+    the oracle, in BOTH evaluation formulations: the serial unrolled
+    trace and the stacked_tails vmapped-template one -- pinning the
+    congruent-subtree batching itself to the independent float64 math,
+    not just to the repo's own serial path."""
+    from mpnn_tpu.experiments import ac_tree, cr_tree
+    from mpnn_tpu.ops import config
+
+    make = ac_tree(k_cpt=1e-9) if kind == "ac" else cr_tree(k_cpt=1e-9)
+    net = make((32, 32, 3), (10,))
+    assert net._stack_plan, "registry tree must produce a stack plan"
+    params, state = net.init(jax.random.PRNGKey(7))
+    r = np.random.RandomState(7)
+    bsz = 4
+    x0 = r.rand(bsz, 32, 32, 3).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[r.randint(0, 10, bsz)]
+    tau, eps = 0.7, 1e-6
+    ctx = Ctx(train=True, rng=None, tau=tau, eps=eps, k_cpt=1e-9)
+
+    infos = oracle.net_forward(net, _np_tree(params), _np_tree(state),
+                               np.float64(x0), np.float64(y), True,
+                               overrides=_pyramid_override(net, x0))
+    oracle.route(net.root, infos, eps=eps, tau=tau)
+    if kind == "ac":
+        o_loss, _ = oracle.actor_loss(net, infos, k_cpt=1e-9,
+                                      k_dec=net.hypers.k_dec)
+    else:
+        o_loss, _ = oracle.critic_loss(net, infos, k_cpt=1e-9,
+                                       k_cre=net.hypers.k_cre,
+                                       use_cls_err=net.hypers.use_cls_err,
+                                       optimistic=net.hypers.optimistic)
+
+    for stacked in (False, True):
+        config.set_stacked_tails(stacked)
+        try:
+            recs, _ = net.forward(params, jax.tree.map(jnp.asarray, state),
+                                  jnp.asarray(x0), jnp.asarray(y), ctx)
+            loss = float(net.loss(recs, bsz, ctx))
+        finally:
+            config.set_stacked_tails(False)
+        tag = f"stacked={stacked}"
+        for l in net.layers:
+            np.testing.assert_allclose(
+                np.asarray(recs[l].p_tr), infos[l].p_tr,
+                rtol=2e-4, atol=1e-10, err_msg=f"{tag} {l.name}")
+            if recs[l].router_x is not None:
+                np.testing.assert_allclose(
+                    np.asarray(recs[l].router_x), infos[l].router_x,
+                    rtol=2e-4, atol=2e-5, err_msg=tag)
+        for l in net.leaves:
+            np.testing.assert_allclose(
+                np.asarray(recs[l].c_err), infos[l].c_err,
+                rtol=2e-4, atol=1e-6, err_msg=tag)
+        assert np.isclose(loss, o_loss, rtol=5e-4), (tag, loss, o_loss)

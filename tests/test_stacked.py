@@ -415,3 +415,83 @@ def test_stacked_eval_split_matches_serial(stacked_on, synth_dataset):
         np.testing.assert_allclose(np.asarray(sums_s[k]),
                                    np.asarray(sums_v[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+# ------------------------------------------------- randomized-topology fuzz
+
+def _random_tree(rng, depth=0):
+    """Random tree with duplication bias so congruent subtrees appear at
+    random depths: at each expansion, with p=0.5 reuse an earlier subtree
+    SPEC (not object) from this tree, creating a congruence class. Exercises
+    _compute_stack_plan's greedy disjoint grouping on asymmetric shapes
+    (nested congruence, incongruent siblings, groups at different depths)."""
+    specs = []  # [(spec, n_scales it consumes)]
+
+    def gen(depth, scales):
+        # An MCM's n_chan list can't exceed the scales flowing into it
+        # (registry invariant: scale counts shrink down the tree).
+        if depth >= 3 or scales < 1 or rng.random() < 0.25 * depth:
+            return ("reg",)
+        reusable = [s for s, sc in specs if sc <= scales]
+        if reusable and rng.random() < 0.5:
+            return reusable[int(rng.integers(len(reusable)))]
+        n_sc = int(rng.integers(1, scales + 1))
+        widths = [int(rng.choice([4, 8])) for _ in range(n_sc)]
+        spec = ("rcm", tuple(widths),
+                tuple(gen(depth + 1, n_sc)
+                      for _ in range(int(rng.integers(1, 3)))))
+        specs.append((spec, n_sc))
+        return spec
+
+    def build(spec):
+        if spec[0] == "reg":
+            return reg(10)
+        return rcm(list(spec[1]), *[build(s) for s in spec[2]])
+
+    return pyr(*[build(gen(1, 3)) for _ in range(int(rng.integers(1, 3)))])
+
+
+@pytest.mark.parametrize("seed", [0, 2, 5, 6])  # 0: 4-wide leaf group;
+# 2: asymmetric; 5/6: multi-node (2- and 3-deep) subtree groups.
+def test_fuzz_random_topology_parity(stacked_on, seed):
+    """Random asymmetric trees: plan disjointness + loss/state parity of
+    serial vs stacked vs packed forward."""
+    rng = np.random.default_rng(seed)
+    net = ActorNet(x0_shape=(16, 16, 3), y_shape=(10,),
+                   root=_random_tree(rng), k_cpt=1e-9)
+    # Plan invariant: groups are >=2-wide and node-disjoint.
+    seen = set()
+    for g in net._stack_plan:
+        assert len(g["members"]) >= 2
+        for pre in g["preorders"]:
+            ids = {id(n) for n in pre}
+            assert not (ids & seen)
+            seen |= ids
+
+    params, state, _ = init_training(net, seed=seed)
+    x0, y = _batch(seed=seed, b=4)
+    ctx = Ctx(train=True, tau=0.8, eps=1e-6, k_cpt=1e-9)
+
+    config.set_stacked_tails(False)
+    recs_s, ns_s = net.forward(params, state, x0, y, ctx)
+    loss_s = net.loss(recs_s, len(x0), ctx)
+    config.set_stacked_tails(True)
+    recs_v, _ = net.forward(params, state, x0, y, ctx)
+    loss_v = net.loss(recs_v, len(x0), ctx)
+    np.testing.assert_allclose(np.asarray(loss_s), np.asarray(loss_v),
+                               rtol=2e-6, atol=0)
+    if not net._stack_plan:
+        return
+    # Packed layout: same math, state returned packed and unpacks equal.
+    recs_p, ns_p = net.forward(net.pack_tree(params), net.pack_tree(state),
+                               x0, y, ctx)
+    loss_p = net.loss(recs_p, len(x0), ctx)
+    np.testing.assert_allclose(np.asarray(loss_v), np.asarray(loss_p),
+                               rtol=0, atol=0)
+    flat_s = jax.tree_util.tree_leaves_with_path(ns_s)
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(
+        net.unpack_tree(ns_p)))
+    for path, leaf in flat_s:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_p[path]),
+                                   rtol=2e-6, atol=2e-7, err_msg=str(path))
