@@ -50,8 +50,9 @@ def ref_images_per_sec():
 
 
 def main():
-    import jax
     from mpnn_tpu.utils import jaxcache
+    jaxcache.wait_for_backend()  # ride out transient TPU-tunnel outages
+    import jax
     jaxcache.enable()
     import jax.numpy as jnp
 

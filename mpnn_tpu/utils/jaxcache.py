@@ -10,6 +10,38 @@ import os
 import jax
 
 
+def wait_for_backend(attempts=5, sleep_s=120):
+    """Bounded retry for transient TPU-tunnel outages (observed
+    2026-08-17: backend init hangs minutes then raises UNAVAILABLE).
+    Each attempt pings the default backend in a fresh subprocess because
+    a failed PJRT init poisons the in-process backend registry. Returns
+    silently either way -- on exhaustion the caller's real run surfaces
+    the error."""
+    import subprocess
+    import sys
+    import time
+    if os.environ.get("MPNN_NO_BACKEND_WAIT") == "1":
+        return  # tests force CPU in-process; the default-backend ping
+        # would probe the (possibly down) TPU tunnel for minutes.
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))"],
+                capture_output=True, text=True, timeout=600)
+            ok, err_text = r.returncode == 0, r.stderr
+        except subprocess.TimeoutExpired:
+            ok, err_text = False, "ping subprocess timed out (600s)"
+        if ok:
+            return
+        if i < attempts - 1:
+            err = (err_text.strip().splitlines() or ["?"])[-1][:120]
+            print(f"# backend init attempt {i + 1} failed, retrying in "
+                  f"{sleep_s}s: {err}", file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+
+
 def enable(cache_dir=None, platform=None):
     # CPU executables are AOT-compiled for the exact host feature set; this
     # sandbox's microVMs expose different sets run to run, and XLA loading a

@@ -14,6 +14,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 # (possible SIGILL loading another profile's binary). Subprocess tests
 # (CLI smoke, multihost, graft-entry) inherit this via the environment.
 os.environ["MPNN_NO_JAX_CACHE"] = "1"
+# Likewise skip the TPU-outage backend ping (jaxcache.wait_for_backend):
+# tests force CPU in-process, but the ping subprocess would probe the
+# default (axon) backend and stall for minutes when the tunnel is down.
+os.environ["MPNN_NO_BACKEND_WAIT"] = "1"
 
 import jax  # noqa: E402
 
