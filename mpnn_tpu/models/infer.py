@@ -86,7 +86,8 @@ def make_routed_infer_fn(net, batch_size, capacities=1.0):
     leaves = [l for l in net.layers if len(l.sinks) == 0]
     leaf_index = {id(l): i for i, l in enumerate(leaves)}
     n_cls = int(net.hypers.y_shape[0])
-    eps_rte = float(getattr(net.hypers, "ϵ", 1e-6))
+    from .steps import _hyper  # NFKC-normalized lookup (kwarg ϵ -> attr ε)
+    eps_rte = float(_hyper(net, "ϵ", 1e-6))
 
     for sw in switches:
         has_leaf_child = any(len(s.sinks) == 0 for s in sw.sinks)

@@ -42,7 +42,12 @@ class Schedules:
 
 
 def _hyper(net, name, default):
-    return getattr(net.hypers, name, default)
+    # Python NFKC-normalizes identifiers, so a hyper passed as the kwarg
+    # ϵ=... (U+03F5) lands in vars(net.hypers) under ε (U+03B5); string
+    # lookups must normalize the same way or custom values of such hypers
+    # are silently replaced by the default.
+    import unicodedata
+    return getattr(net.hypers, unicodedata.normalize("NFKC", name), default)
 
 
 def make_train_step(net, batch_size, schedules, r_shift=4, mesh=None):

@@ -107,10 +107,11 @@ def main():
     batch = args.batch_size
     net = ac_chain(k_cpt=1e-9)((32, 32, 3), (10,))
     params, state, vel = init_training(net, seed=0)
-    eps_rte = float(getattr(net.hypers, "ϵ", 1e-6))
-    mu = float(getattr(net.hypers, "μ_lrn", 0.9))
-    alpha_rtr = float(getattr(net.hypers, "α_rtr", 1.0))
-    talr = bool(getattr(net.hypers, "talr", True))
+    from mpnn_tpu.models.steps import _hyper  # NFKC-normalized lookup
+    eps_rte = float(_hyper(net, "ϵ", 1e-6))
+    mu = float(_hyper(net, "μ_lrn", 0.9))
+    alpha_rtr = float(_hyper(net, "α_rtr", 1.0))
+    talr = bool(_hyper(net, "talr", True))
 
     @jax.jit
     def step(params, state, vel, rng, lr, tau, xb, yb):
