@@ -376,3 +376,80 @@ def test_flagship_tree_matches_oracle(kind):
                 np.asarray(recs[l].c_err), infos[l].c_err,
                 rtol=2e-4, atol=1e-6, err_msg=tag)
         assert np.isclose(loss, o_loss, rtol=5e-4), (tag, loss, o_loss)
+
+
+@pytest.mark.parametrize("kind,seed", [("ac", 1), ("ac", 3), ("cr", 7),
+                                       ("cr", 8)])
+def test_fuzz_random_topology_matches_oracle(kind, seed):
+    """Randomized asymmetric registry-style topologies against the float64
+    oracle, in all three evaluation formulations (serial, stacked-tails,
+    packed carry): extends the fixed-fixture oracle pins to arbitrary tree
+    shapes -- multi-way fanouts, uneven depths, congruent-subtree groups
+    at random positions -- and exercises a CUSTOM exploration eps and a
+    non-default tau (the eps hyper lookup was once NFKC-broken; values
+    here must flow end to end)."""
+    from mpnn_tpu.models import ActorNet, CriticNet
+    from mpnn_tpu.ops import config
+    from .test_stacked import _random_tree
+
+    rng = np.random.default_rng(seed)
+    cls = ActorNet if kind == "ac" else CriticNet
+    net = cls(root=_random_tree(rng), x0_shape=(16, 16, 3), y_shape=(10,),
+              k_cpt=1e-9)
+    params, state = net.init(jax.random.PRNGKey(seed))
+    # Jitter every param so zero-init router heads produce non-degenerate
+    # logits (otherwise pi_tr is exactly uniform and tau is untested).
+    r = np.random.RandomState(seed)
+    params = jax.tree.map(
+        lambda a: a + jnp.asarray(0.05 * r.randn(*np.shape(a)), a.dtype),
+        params)
+    bsz = 4
+    x0 = r.rand(bsz, 16, 16, 3).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[r.randint(0, 10, bsz)]
+    tau, eps = 0.6, 0.03
+    ctx = Ctx(train=True, rng=None, tau=tau, eps=eps, k_cpt=1e-9)
+
+    infos = oracle.net_forward(net, _np_tree(params), _np_tree(state),
+                               np.float64(x0), np.float64(y), True,
+                               overrides=_pyramid_override(net, x0))
+    if list(net.switches):
+        oracle.route(net.root, infos, eps=eps, tau=tau)
+    if kind == "ac":
+        o_loss, _ = oracle.actor_loss(net, infos, k_cpt=1e-9,
+                                      k_dec=net.hypers.k_dec)
+    else:
+        o_loss, _ = oracle.critic_loss(net, infos, k_cpt=1e-9,
+                                       k_cre=net.hypers.k_cre,
+                                       use_cls_err=net.hypers.use_cls_err,
+                                       optimistic=net.hypers.optimistic)
+
+    def check(recs, loss, tag):
+        for l in net.layers:
+            np.testing.assert_allclose(
+                np.asarray(recs[l].p_tr), infos[l].p_tr,
+                rtol=2e-4, atol=1e-10, err_msg=f"{tag} {l.name}")
+            if recs[l].router_x is not None:
+                np.testing.assert_allclose(
+                    np.asarray(recs[l].router_x), infos[l].router_x,
+                    rtol=2e-4, atol=2e-5, err_msg=tag)
+        for l in net.leaves:
+            np.testing.assert_allclose(
+                np.asarray(recs[l].c_err), infos[l].c_err,
+                rtol=2e-4, atol=1e-6, err_msg=tag)
+        assert np.isclose(loss, o_loss, rtol=5e-4), (tag, loss, o_loss)
+
+    jp = jax.tree.map(jnp.asarray, params)
+    js = jax.tree.map(jnp.asarray, state)
+    for stacked in (False, True):
+        config.set_stacked_tails(stacked)
+        try:
+            recs, _ = net.forward(jp, js, jnp.asarray(x0), jnp.asarray(y),
+                                  ctx)
+            check(recs, float(net.loss(recs, bsz, ctx)),
+                  f"stacked={stacked}")
+            if stacked and net._stack_plan:
+                recs, _ = net.forward(net.pack_tree(jp), net.pack_tree(js),
+                                      jnp.asarray(x0), jnp.asarray(y), ctx)
+                check(recs, float(net.loss(recs, bsz, ctx)), "packed")
+        finally:
+            config.set_stacked_tails(False)
