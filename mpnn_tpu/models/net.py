@@ -195,6 +195,11 @@ class Net:
                 for gi, g in enumerate(self._stack_plan)
                 for mi, m in enumerate(g["members"])}
 
+    def packed_member_ids(self):
+        """{id(member node)} over all stack-plan groups; the node slots a
+        packed-layout walk must skip (their subtrees live in "groups")."""
+        return {id(m) for g in self._stack_plan for m in g["members"]}
+
     def pack_tree(self, tree, axis=0):
         """Re-layout a node-structured pytree (params/state/vel/grads all
         share the node-dict structure) into the PACKED form
@@ -369,9 +374,7 @@ class Net:
         if config.compute_dtype is not None:
             x0 = x0.astype(config.compute_dtype)
         plan = self._stack_plan if (config.stacked_tails or packed) else []
-        group_of = {id(m): (gi, mi)
-                    for gi, g in enumerate(plan)
-                    for mi, m in enumerate(g["members"])}
+        group_of = self._member_at() if plan else {}
         # Per group member: (params, state, input, parent sinks-list, index).
         pend = [[None] * len(g["members"]) for g in plan]
         recs = {}

@@ -60,8 +60,7 @@ def talr_scale_grads(net, grads, p_tr_by_uid, alpha_rtr=1.0, talr=True):
         return 1.0 / jnp.sqrt(jnp.mean(jnp.square(p_tr)))
 
     packed = net.is_packed(grads)
-    member_ids = ({id(m) for g in net._stack_plan for m in g["members"]}
-                  if packed else set())
+    member_ids = net.packed_member_ids() if packed else set()
 
     def visit(node, g):
         s = scale_of(node) if talr else 1.0
@@ -148,8 +147,7 @@ def tree_l2_decay(net, params, grads, p_tr_by_uid):
                 else jnp.float32(1.0))
 
     packed = net.is_packed(grads)
-    member_ids = ({id(m) for g in net._stack_plan for m in g["members"]}
-                  if packed else set())
+    member_ids = net.packed_member_ids() if packed else set()
 
     def node_mod(node, p, g):
         coeff = coeff_of(node)

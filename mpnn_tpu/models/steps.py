@@ -222,7 +222,14 @@ def make_train_loop(net, batch_size, schedules, r_shift=4, mesh=None,
 
     def loop(params, state, vel, t0, rng, x0_tr, y_tr, m_sym, n_steps,
              k_cpt=None):
-        pack = ops_config.stacked_tails and bool(net._stack_plan)
+        # Meshless only: the mesh path places params per-node
+        # (parallel.shard_params) and the packed group stacks' scan-carry
+        # shardings would be GSPMD-inferred rather than pinned, risking a
+        # silent gather of grouped tails onto one device for a whole
+        # chunk. Under a mesh, stacked_tails falls back to the per-step
+        # stacking inside forward() (still correct, never carried).
+        pack = (mesh is None and ops_config.stacked_tails
+                and bool(net._stack_plan))
         if pack:
             params, state, vel = (net.pack_tree(t)
                                   for t in (params, state, vel))

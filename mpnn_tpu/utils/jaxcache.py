@@ -23,13 +23,21 @@ def wait_for_backend(attempts=5, sleep_s=120):
     if os.environ.get("MPNN_NO_BACKEND_WAIT") == "1":
         return  # tests force CPU in-process; the default-backend ping
         # would probe the (possibly down) TPU tunnel for minutes.
+    # Hand the ping child the persistent compile cache (JAX reads these
+    # env vars at import): without it every attempt -- including the one
+    # on each HEALTHY bench/entry start -- pays a fresh remote TPU compile
+    # of the 8x8 matmul, and a slow-but-working compile service could eat
+    # the whole retry budget.
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", _default_cache_dir())
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     for i in range(attempts):
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax, numpy as np, jax.numpy as jnp;"
                  "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))"],
-                capture_output=True, text=True, timeout=600)
+                capture_output=True, text=True, timeout=600, env=env)
             ok, err_text = r.returncode == 0, r.stderr
         except subprocess.TimeoutExpired:
             ok, err_text = False, "ping subprocess timed out (600s)"
@@ -40,6 +48,13 @@ def wait_for_backend(attempts=5, sleep_s=120):
             print(f"# backend init attempt {i + 1} failed, retrying in "
                   f"{sleep_s}s: {err}", file=sys.stderr, flush=True)
             time.sleep(sleep_s)
+
+
+def _default_cache_dir():
+    return os.environ.get(
+        "MPNN_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
 
 
 def enable(cache_dir=None, platform=None):
@@ -55,10 +70,7 @@ def enable(cache_dir=None, platform=None):
     # MPNN_NO_JAX_CACHE=1 (conftest).
     if platform == "cpu" or os.environ.get("MPNN_NO_JAX_CACHE") == "1":
         return None
-    cache_dir = cache_dir or os.environ.get(
-        "MPNN_JAX_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    cache_dir = cache_dir or _default_cache_dir()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
