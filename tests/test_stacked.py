@@ -495,3 +495,31 @@ def test_fuzz_random_topology_parity(stacked_on, seed):
         np.testing.assert_allclose(np.asarray(leaf),
                                    np.asarray(flat_p[path]),
                                    rtol=2e-6, atol=2e-7, err_msg=str(path))
+
+
+def test_stacked_mesh_train_loop_matches_serial(stacked_on, synth_dataset):
+    """stacked_tails composes with the PLAIN loop's dp mesh through the
+    per-step stacking fallback: the packed carry is meshless-only (its
+    group stacks' scan-carry shardings would be GSPMD-inferred, not
+    pinned -- see make_train_loop), so under a mesh the carry stays in
+    node layout and the trajectory must still match the serial one."""
+    from mpnn_tpu.models import Schedules
+    from mpnn_tpu.models.steps import make_train_loop
+    from mpnn_tpu.parallel import make_mesh
+    net = _sym_tree(ActorNet, k_cpt=1e-9)
+    x0_tr, y_tr, m_sym = synth_dataset.train_arrays
+
+    def run(flag, mesh):
+        config.set_stacked_tails(flag)
+        params, state, vel = init_training(net, seed=0)
+        loop = make_train_loop(net, 16, Schedules(lr=lambda t: 0.02),
+                               mesh=mesh, sample_tile=3)
+        params, state, vel, cs = loop(
+            params, state, vel, 0, jax.random.PRNGKey(4),
+            x0_tr, y_tr, m_sym, 4)
+        assert not net.is_packed(params)
+        return np.asarray(cs)
+
+    cs_serial = run(False, None)
+    cs_mesh = run(True, make_mesh(n_data=2, n_model=1))
+    np.testing.assert_allclose(cs_serial, cs_mesh, rtol=1e-4)
