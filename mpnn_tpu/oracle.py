@@ -2,9 +2,13 @@
 
 This module re-derives the reference's semantics DIRECTLY from
 /root/reference/scripts/lib/layer_types.py and net_types.py in plain NumPy
-(no jax, no mpnn_tpu math) so tests can pin the JAX implementation against
+(no jax, no mpnn_tpu math) so the JAX implementation can be pinned against
 an implementation that shares nothing with it but the parameter arrays
-(repo-vs-oracle rather than repo-vs-repo; SURVEY.md section 7 M6).
+(repo-vs-oracle rather than repo-vs-repo; SURVEY.md section 7 M6). The
+test suite drives it exhaustively (tests/test_reference_oracle.py,
+test_grad_oracle.py, test_step_oracle.py); `mpnn_tpu.paritycheck` /
+`scripts/check-parity` expose it as a user-facing harness for validating
+any trained checkpoint.
 
 The oracle walks the SAME tree-of-layer-objects structure the repo builds
 (structure and hyperparameters are configuration, not math) but computes

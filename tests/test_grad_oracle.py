@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from mpnn_tpu.models import ActorNet, CriticNet, Ctx
 
-from . import reference_oracle as oracle
+from mpnn_tpu import oracle
 from .test_reference_oracle import _two_switch_tree, _data, _np_tree, B
 
 TAU, EPS_RTE, K_CPT = 0.8, 0.05, 3e-9

@@ -1,6 +1,6 @@
 """Repo-vs-ORACLE numerical parity (SURVEY.md section 7 M6).
 
-tests/reference_oracle.py re-derives the reference's forward, routing,
+mpnn_tpu/oracle.py re-derives the reference's forward, routing,
 cost-to-go, loss, and TALR math in plain NumPy straight from
 /root/reference/scripts/lib/{layer_types,net_types}.py -- sharing nothing
 with the JAX implementation except the parameter arrays. These tests drive
@@ -18,7 +18,7 @@ from mpnn_tpu.ops.layers import (Chain, Conv, LinTrans, Rect, Softmax,
 from mpnn_tpu.models import SRNet, ActorNet, CriticNet, Ctx
 from mpnn_tpu.models.optim import talr_scale_grads
 
-from . import reference_oracle as oracle
+from mpnn_tpu import oracle
 
 B, H, W, C, NCLS = 6, 8, 8, 3, 4
 RTOL = 2e-5

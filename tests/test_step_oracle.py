@@ -34,7 +34,7 @@ from mpnn_tpu.ops import config as ops_config
 from mpnn_tpu.ops.layers import (Chain, LinTrans, Softmax,
                                  CrossEntropyError)
 
-from . import reference_oracle as oracle
+from mpnn_tpu import oracle
 from .test_reference_oracle import (_two_switch_tree, _body, _data,
                                     _np_tree, B, H, W, C, NCLS)
 from .test_grad_oracle import _perturb, _direction
