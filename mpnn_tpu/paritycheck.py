@@ -149,3 +149,79 @@ def check_parity(net, params, state, x0, y, *, train=True, tau=None,
     _merge(report, "loss", loss, o_loss)
     report["ok"] = all(c["ok"] for c in report["checks"].values())
     return report
+
+
+def check_grad_parity(net, params, state, x0, y, *, tau=None, eps=None,
+                      k_cpt=None, seed=0, fd_eps=1e-6, rtol=2e-3):
+    """Directional TRAINING-gradient parity against the oracle.
+
+    Compares <jax.grad L(theta), d> for a random direction d against a
+    float64 central finite difference of the oracle's sg-EXPLICIT loss
+    (quantities the reference wraps in stop_gradient are held at the
+    unperturbed params), so a misplaced sg boundary -- gradient leaking
+    into critic targets, c_mod weights, or the decisiveness term -- fails
+    the check even when all VALUES agree. Train-mode only."""
+    tau = float(_hyper(net, "τ", 1.0)) if tau is None else float(tau)
+    eps = float(_hyper(net, "ϵ", 1e-6)) if eps is None else float(eps)
+    dyn = bool(_hyper(net, "dyn_k_cpt", False))
+    if k_cpt is None:
+        k_cpt = _hyper(net, "k_cpt", 0.0)
+        if dyn:
+            k_cpt = np.full((len(x0),), float(k_cpt), np.float32)
+    x0 = np.asarray(x0, np.float32)
+    y = np.asarray(y, np.float32)
+    kind = type(net).__name__
+
+    ctx = Ctx(train=True, rng=None, tau=tau, eps=eps,
+              k_cpt=(jnp.asarray(k_cpt) if dyn else k_cpt))
+    js = jax.tree.map(jnp.asarray, state)
+
+    def loss_fn(p):
+        recs, _ = net.forward(p, js, jnp.asarray(x0), jnp.asarray(y), ctx)
+        return net.loss(recs, len(x0), ctx)
+
+    loss, grads = jax.value_and_grad(loss_fn)(
+        jax.tree.map(jnp.asarray, params))
+    r = np.random.RandomState(seed)
+    d = jax.tree.map(lambda a: np.float64(r.randn(*np.shape(a))), params)
+    repo_dot = sum(
+        float(np.sum(np.asarray(g, np.float64) * dd))
+        for g, dd in zip(jax.tree.leaves(grads), jax.tree.leaves(d)))
+
+    np64 = lambda t: jax.tree.map(lambda a: np.asarray(a, np.float64), t)
+    params_np, state_np = np64(params), np64(state)
+    okw = dict(k_cpt=(np.float64(k_cpt) if dyn else None),
+               alpha_cpt=(float(_hyper(net, "α_cpt", 1e7)) if dyn else None),
+               dyn_k_cpt=dyn, overrides=pyramid_override(net, x0))
+
+    def infos_at(p):
+        infos = oracle.net_forward(net, p, state_np, np.float64(x0),
+                                   np.float64(y), True, **okw)
+        if net.uses_expectation_optimizer:
+            oracle.route(net.root, infos, eps=eps, tau=tau)
+        return infos
+
+    def perturbed(sign):
+        return jax.tree.map(lambda a, b: a + sign * fd_eps * b,
+                            params_np, d)
+
+    frozen = infos_at(params_np)
+    kc = np.float64(k_cpt)
+    if kind == "ActorNet":
+        k_dec = float(_hyper(net, "k_dec", 0.01))
+        loss_sg = lambda live: oracle.actor_loss_sg(net, live, frozen,
+                                                    kc, k_dec)
+    elif kind == "CriticNet":
+        loss_sg = lambda live: oracle.critic_loss_sg(
+            net, live, frozen, kc,
+            float(_hyper(net, "k_cre", 1e-3)),
+            bool(_hyper(net, "use_cls_err", False)),
+            bool(_hyper(net, "optimistic", False)))
+    else:
+        loss_sg = lambda live: oracle.sr_loss(net, live)
+    fd = (loss_sg(infos_at(perturbed(+1)))
+          - loss_sg(infos_at(perturbed(-1)))) / (2 * fd_eps)
+
+    ok = bool(np.isclose(repo_dot, fd, rtol=rtol, atol=1e-7))
+    return {"net": kind, "loss": float(loss), "repo_grad_dot": repo_dot,
+            "oracle_fd": float(fd), "rtol": rtol, "ok": ok}

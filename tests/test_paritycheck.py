@@ -88,3 +88,20 @@ def test_tau_aware_routing_tolerance():
     x0, y = _data(4)
     report = check_parity(net, _jitter(params, 5), state, x0, y, tau=0.01)
     assert report["ok"], report
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (ActorNet, dict(k_cpt=3e-9, k_dec=0.02)),
+    (CriticNet, dict(k_cpt=3e-9, k_cre=1e-2)),
+    (ActorNet, dict(k_cpt=1e-9, dyn_k_cpt=True, α_cpt=1e7)),
+])
+def test_check_grad_parity(cls, kw):
+    """The user-facing gradient harness agrees with the repo gradient via
+    the oracle FD (sg-placement sensitivity itself is pinned by
+    test_grad_oracle's naive-vs-sg control)."""
+    from mpnn_tpu.paritycheck import check_grad_parity
+    net = _two_switch_tree(cls, τ=0.7, ϵ=0.05, **kw)
+    params, state = net.init(jax.random.PRNGKey(6))
+    x0, y = _data(6)
+    report = check_grad_parity(net, _jitter(params, 7), state, x0, y)
+    assert report["ok"], report
