@@ -196,6 +196,14 @@ def make_experiments():
         "hybrid-ac-notalr": _sweep("data/hybrid.npz", ac_chain, AC_TAU,
                                    talr=False),
         "hybrid-ac-tree": _sweep("data/hybrid.npz", ac_tree, AC_TAU),
+        # "Actor Nets, Regularized Policy": plotted by the reference's
+        # figure scripts (make-acc-eff-plots:109, make-pres-figs:128) but
+        # never defined in its registry — reconstructed here (see
+        # models/actor.py docstring): bare-softmax policy (no eps
+        # mixture), entropy regularizer instead of the decisiveness term,
+        # plain global momentum (no TALR).
+        "hybrid-ac-globopt": _sweep("data/hybrid.npz", ac_chain, AC_TAU,
+                                    globopt=True, talr=False),
         "hybrid-cr": _sweep("data/hybrid.npz", cr_chain, CR_TAU),
         "hybrid-cr-opt": _sweep("data/hybrid.npz", cr_chain, CR_TAU,
                                 optimistic=True),
@@ -224,6 +232,8 @@ def make_experiments():
         # Air-gapped smoke experiments on synthetic data:
         "synth-sr": _sweep_sr("data/synth.npz"),
         "synth-ac": _sweep("data/synth.npz", ac_chain, AC_TAU),
+        "synth-ac-globopt": _sweep("data/synth.npz", ac_chain, AC_TAU,
+                                   globopt=True, talr=False),
         "synth-cr": _sweep("data/synth.npz", cr_chain, CR_TAU),
         "synth-ac-tree": _sweep("data/synth.npz", ac_tree, AC_TAU),
         "synth-cr-tree": _sweep("data/synth.npz", cr_tree, CR_TAU),

@@ -19,9 +19,11 @@ class DynRoutedMixin:
 
     def route_for_stats(self, recs, batch_size, ctx):
         """Fill p_tr/p_ev on every Rec for the stats pass (shared by actor
-        and critic nets; the loss paths call propagate themselves)."""
+        and critic nets; the loss paths call propagate themselves). A
+        globopt actor routes by the bare softmax policy in stats too."""
         from .routing import propagate
-        return propagate(self, recs, batch_size, ctx.tau, ctx.eps)
+        return propagate(self, recs, batch_size, ctx.tau, ctx.eps,
+                         mixture=not getattr(self.hypers, "globopt", False))
 
     def _router_in_shape(self, node):
         if not self.hypers.dyn_k_cpt:

@@ -285,13 +285,17 @@ def net_forward(net, params, state, x0, y, train, k_cpt=None,
     return infos
 
 
-def route(root, infos, eps, tau):
+def route(root, infos, eps, tau, mixture=True):
     """Probability propagation (net_types.py:108-131): root starts at
     p_tr = p_ev = 1; at switches
       pi_tr = (1 - eps_l/p_tr) * softmax(router_x/tau) + eps_sinks/p_tr
       pi_ev = one-hot argmax(router_x)
     with eps_l = eps * n_leaves(l)/n_leaves(root). Probabilities multiply
-    down the tree. Fills info.p_tr/.p_ev/.pi_tr/.pi_ev."""
+    down the tree. Fills info.p_tr/.p_ev/.pi_tr/.pi_ev.
+
+    mixture=False is the globopt actor's routing (a reconstruction — the
+    reference plots `hybrid-ac-globopt` but never defines it): pi_tr is
+    the bare softmax policy, no eps mixture."""
     n_root = n_leaves(root)
 
     def p_tr_eps(l):
@@ -305,9 +309,13 @@ def route(root, infos, eps, tau):
                 visit(s, p_tr, p_ev)
             return
         rx = infos[node].router_x
-        pi_tr = ((1 - p_tr_eps(node) / p_tr[:, None]) * softmax(rx / tau)
-                 + np.array([p_tr_eps(s) for s in node.sinks])
-                 / p_tr[:, None])
+        if mixture:
+            pi_tr = ((1 - p_tr_eps(node) / p_tr[:, None])
+                     * softmax(rx / tau)
+                     + np.array([p_tr_eps(s) for s in node.sinks])
+                     / p_tr[:, None])
+        else:
+            pi_tr = softmax(rx / tau)
         pi_ev = (np.argmax(rx, 1)[:, None]
                  == np.arange(len(node.sinks))).astype(np.float64)
         info.pi_tr, info.pi_ev = pi_tr, pi_ev
@@ -347,10 +355,15 @@ def sr_loss(net, infos):
     return np.mean(tot)
 
 
-def actor_loss(net, infos, k_cpt, k_dec):
+def actor_loss(net, infos, k_cpt, k_dec, globopt=False, k_pol=0.01):
     """ActorNet loss terms (net_types.py:167-177). Returns (total, parts).
     stop_gradient placement does not change VALUES, so the oracle sums the
-    same expressions without it."""
+    same expressions without it.
+
+    globopt=True replaces the decisiveness term with the policy entropy
+    regularizer k_pol * sum(pi ln pi) (route() must have been called with
+    mixture=False so pi_tr is the bare softmax; +1e-12 matches the JAX
+    path's underflow guard)."""
     batch = _batch_of(infos[net.root])
     k_cpt = np.asarray(k_cpt, np.float64)
     c_err = np.zeros(batch)
@@ -363,8 +376,12 @@ def actor_loss(net, infos, k_cpt, k_dec):
         c_cpt = c_cpt + i.p_tr * k_cpt * (l.n_ops + router_n_ops(l))
         c_mod = c_mod + i.p_tr * (i.c_mod + getattr(i, "router_c_mod", 0.0))
         if len(l.sinks) > 1:
-            c_dec = c_dec + i.p_tr * k_dec * np.sum(
-                np.square(i.router_x), axis=1)
+            if globopt:
+                c_dec = c_dec + i.p_tr * k_pol * np.sum(
+                    i.pi_tr * np.log(i.pi_tr + 1e-12), axis=1)
+            else:
+                c_dec = c_dec + i.p_tr * k_dec * np.sum(
+                    np.square(i.router_x), axis=1)
     total = np.mean(c_err + c_cpt + c_mod + c_dec)
     return total, dict(c_err=c_err, c_cpt=c_cpt, c_mod=c_mod, c_dec=c_dec)
 
@@ -427,7 +444,8 @@ def critic_loss(net, infos, k_cpt, k_cre, use_cls_err, optimistic):
                                                 c_mod=c_mod)
 
 
-def actor_loss_sg(net, live, frozen, k_cpt, k_dec):
+def actor_loss_sg(net, live, frozen, k_cpt, k_dec, globopt=False,
+                  k_pol=0.01):
     """Actor loss with stop_gradient semantics made EXPLICIT for
     finite-difference gradient checks: quantities the reference wraps in
     sg (net_types.py:171-176) are read from `frozen` (the infos at the
@@ -437,7 +455,11 @@ def actor_loss_sg(net, live, frozen, k_cpt, k_dec):
       c_err = p_tr_live * c_err_live      (policy gradient flows via p_tr)
       c_cpt = p_tr_live * k_cpt * ops
       c_mod = sg(p_tr) * c_mod            -> p_tr_frozen * c_mod_live
-      c_dec = sg(p_tr) * k_dec * |rx|^2   -> p_tr_frozen * |rx_live|^2."""
+      c_dec = sg(p_tr) * k_dec * |rx|^2   -> p_tr_frozen * |rx_live|^2.
+
+    globopt=True: the regularizer is instead the live policy's negative
+    entropy, sg(p_tr)-weighted (matches ActorNet.loss with globopt):
+      c_pol = p_tr_frozen * k_pol * sum(pi_live * ln(pi_live + 1e-12))."""
     batch = _batch_of(live[net.root])
     k_cpt = np.asarray(k_cpt, np.float64)
     tot = np.zeros(batch)
@@ -447,8 +469,12 @@ def actor_loss_sg(net, live, frozen, k_cpt, k_dec):
         tot = tot + lv.p_tr * k_cpt * (l.n_ops + router_n_ops(l))
         tot = tot + fz.p_tr * (lv.c_mod + getattr(lv, "router_c_mod", 0.0))
         if len(l.sinks) > 1:
-            tot = tot + fz.p_tr * k_dec * np.sum(
-                np.square(lv.router_x), axis=1)
+            if globopt:
+                tot = tot + fz.p_tr * k_pol * np.sum(
+                    lv.pi_tr * np.log(lv.pi_tr + 1e-12), axis=1)
+            else:
+                tot = tot + fz.p_tr * k_dec * np.sum(
+                    np.square(lv.router_x), axis=1)
     return np.mean(tot)
 
 

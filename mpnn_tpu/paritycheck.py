@@ -113,13 +113,16 @@ def check_parity(net, params, state, x0, y, *, train=True, tau=None,
         alpha_cpt=(float(_hyper(net, "α_cpt", 1e7)) if dyn else None),
         dyn_k_cpt=dyn, overrides=pyramid_override(net, x0))
     routed = net.uses_expectation_optimizer
+    globopt = bool(_hyper(net, "globopt", False))
     if routed:
-        oracle.route(net.root, infos, eps=eps, tau=tau)
+        oracle.route(net.root, infos, eps=eps, tau=tau, mixture=not globopt)
         kind = type(net).__name__
         if kind == "ActorNet":
             o_loss, _ = oracle.actor_loss(
                 net, infos, k_cpt=np.float64(k_cpt),
-                k_dec=float(_hyper(net, "k_dec", 0.01)))
+                k_dec=float(_hyper(net, "k_dec", 0.01)),
+                globopt=globopt,
+                k_pol=float(_hyper(net, "k_pol", 0.01)))
         else:
             o_loss, _ = oracle.critic_loss(
                 net, infos, k_cpt=np.float64(k_cpt),
@@ -194,11 +197,14 @@ def check_grad_parity(net, params, state, x0, y, *, tau=None, eps=None,
                alpha_cpt=(float(_hyper(net, "α_cpt", 1e7)) if dyn else None),
                dyn_k_cpt=dyn, overrides=pyramid_override(net, x0))
 
+    globopt = bool(_hyper(net, "globopt", False))
+
     def infos_at(p):
         infos = oracle.net_forward(net, p, state_np, np.float64(x0),
                                    np.float64(y), True, **okw)
         if net.uses_expectation_optimizer:
-            oracle.route(net.root, infos, eps=eps, tau=tau)
+            oracle.route(net.root, infos, eps=eps, tau=tau,
+                         mixture=not globopt)
         return infos
 
     def perturbed(sign):
@@ -209,8 +215,9 @@ def check_grad_parity(net, params, state, x0, y, *, tau=None, eps=None,
     kc = np.float64(k_cpt)
     if kind == "ActorNet":
         k_dec = float(_hyper(net, "k_dec", 0.01))
-        loss_sg = lambda live: oracle.actor_loss_sg(net, live, frozen,
-                                                    kc, k_dec)
+        k_pol = float(_hyper(net, "k_pol", 0.01))
+        loss_sg = lambda live: oracle.actor_loss_sg(
+            net, live, frozen, kc, k_dec, globopt=globopt, k_pol=k_pol)
     elif kind == "CriticNet":
         loss_sg = lambda live: oracle.critic_loss_sg(
             net, live, frozen, kc,
