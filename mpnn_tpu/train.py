@@ -30,7 +30,7 @@ from .models.steps import Schedules, make_train_step, make_train_loop, \
     make_eval_split_fn, init_training, make_sweep_train_loop, \
     make_sweep_eval_split_fn, stack_trees, unstack_tree
 from .utils.desc import net_desc, render_net_desc, sweep_net_descs
-from .utils.serdes import write_net
+from .utils.serdes import write_net, atomic_save
 
 __all__ = ["train_one_net", "train_experiment", "train_adaptive_experiment"]
 
@@ -69,8 +69,8 @@ def _write_epoch_outputs(out_dir, i, t, desc, net, params, state, vel, *,
     if save_snapshots:
         snap_dir = os.path.join(out_dir, "%.4i-stats" % i)
         os.makedirs(snap_dir, exist_ok=True)
-        np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
-    np.save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
+        atomic_save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
+    atomic_save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
     with open(os.path.join(out_dir, "%.4i-log.txt" % i), "a+") as f:
         f.write(text + "\n")
     write_net(os.path.join(out_dir, "%.4i.npy" % i), net, params, state,
@@ -391,8 +391,8 @@ def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,
             if not latest_only:
                 snap_dir = os.path.join(out_dir, "%.4i-stats" % i)
                 os.makedirs(snap_dir, exist_ok=True)
-                np.save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
-            np.save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
+                atomic_save(os.path.join(snap_dir, "%.8i.npy" % t), desc)
+            atomic_save(os.path.join(out_dir, "%.4i-stats.npy" % i), desc)
 
     chunk = min(n_iter, t_log or cfg.t_log)
     t = t_start

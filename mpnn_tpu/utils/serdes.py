@@ -19,6 +19,8 @@ optional top-level 'extra' dict carrying {'vel': <momentum pytree>, 't':
 step} so training resumes exactly; readers of the reference schema ignore
 it."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,7 +28,22 @@ import jax.numpy as jnp
 from ..ops import layers as layer_lib
 from .. import models as net_lib
 
-__all__ = ["encode_net", "decode_net", "write_net", "read_net"]
+__all__ = ["encode_net", "decode_net", "write_net", "read_net",
+           "atomic_save"]
+
+
+def atomic_save(path, obj):
+    """np.save via tmp-file + os.replace so a crash or kill mid-write can
+    never leave a torn file. Checkpoints are read back by --resume and
+    stats files by the figure scripts; both must survive a process dying
+    at any instant (e.g. the campaign runner being killed at a round
+    boundary). POSIX rename within a directory is atomic."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, obj)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 # Parameter names that are runtime *state* rather than trainable params
 # (BatchNorm EMA stats; the only stateful layer family in the zoo).
@@ -154,7 +171,7 @@ def decode_net(record):
 
 
 def write_net(path, net, params, state, extra=None):
-    np.save(path, encode_net(net, params, state, extra))
+    atomic_save(path, encode_net(net, params, state, extra))
 
 
 def read_net(path):
