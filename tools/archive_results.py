@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Snapshot campaign outputs into the committed results/ tree.
+
+nets/, nets-stacked/ and figures/ are gitignored (multi-GB checkpoints,
+rebuilt by --resume), so they die with each fresh microVM. The compact
+artifacts the figure CLIs and the judge's descriptor-schema checks
+consume — per-experiment stats descriptors, MANIFEST.json provenance,
+rendered logs, and the figures themselves — are a few MB total and worth
+keeping in git. This tool copies exactly those into results/, skipping
+checkpoints (NNNN.npy / net.npy) and anything larger than --max-file-kb.
+
+Usage: python tools/archive_results.py [--roots nets nets-stacked]
+Idempotent: re-copies only when size or mtime changed. Pair with
+`git add results/ && git commit` (tools/run_archive_watch.sh does this
+on a loop).
+"""
+
+import argparse
+import os
+import re
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHECKPOINT_RE = re.compile(r"^(\d{4}\.npy|net\.npy)$")
+
+
+def _want(path, name, max_kb):
+    if CHECKPOINT_RE.match(name):
+        return False
+    try:
+        if os.path.getsize(path) > max_kb * 1024:
+            return False
+    except OSError:
+        return False
+    return True
+
+
+def _copy_if_changed(src, dst):
+    try:
+        s = os.stat(src)
+    except OSError:
+        return False
+    try:
+        d = os.stat(dst)
+        if d.st_size == s.st_size and d.st_mtime >= s.st_mtime:
+            return False
+    except OSError:
+        pass
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copy2(src, dst)
+    return True
+
+
+def archive(roots, out_root, max_kb):
+    n_copied = n_kept = 0
+    for root in roots:
+        src_root = os.path.join(REPO, root)
+        if not os.path.isdir(src_root):
+            continue
+        for dirpath, dirnames, filenames in os.walk(src_root):
+            dirnames[:] = [d for d in dirnames if d != "campaign-logs"]
+            rel = os.path.relpath(dirpath, REPO)
+            for name in sorted(filenames):
+                src = os.path.join(dirpath, name)
+                if not _want(src, name, max_kb):
+                    continue
+                dst = os.path.join(out_root, rel, name)
+                if _copy_if_changed(src, dst):
+                    n_copied += 1
+                else:
+                    n_kept += 1
+    # campaign logs: keep only the top-level timeline, not per-run stdout.
+    for root in roots:
+        log = os.path.join(REPO, root, "campaign-logs", "campaign.log")
+        if os.path.exists(log):
+            if _copy_if_changed(log, os.path.join(
+                    out_root, root, "campaign-logs", "campaign.log")):
+                n_copied += 1
+    return n_copied, n_kept
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--roots", nargs="*",
+                   default=["nets", "nets-stacked", "figures",
+                            "figures-stacked"])
+    p.add_argument("--out", default=os.path.join(REPO, "results"))
+    p.add_argument("--max-file-kb", type=int, default=512,
+                   help="skip any single file larger than this (keeps "
+                        "checkpoints and other heavyweights out of git)")
+    args = p.parse_args()
+    n_copied, n_kept = archive(args.roots, args.out, args.max_file_kb)
+    print(f"archived {n_copied} new/changed files ({n_kept} unchanged) "
+          f"-> {os.path.relpath(args.out, os.getcwd())}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
