@@ -81,6 +81,27 @@ def archive(roots, out_root, max_kb):
     return n_copied, n_kept
 
 
+def restore(out_root):
+    """Copy archived snapshots back under the repo root, never
+    overwriting a live file. Gives a fresh VM's figure CLIs the previous
+    rounds' stats immediately; note a later `train-nets <expt> --resume`
+    with no checkpoint on disk retrains that experiment from scratch and
+    overwrites the restored stats (checkpoints are not archived)."""
+    n = 0
+    if not os.path.isdir(out_root):
+        return n
+    for dirpath, _, filenames in os.walk(out_root):
+        rel = os.path.relpath(dirpath, out_root)
+        for name in filenames:
+            dst = os.path.join(REPO, rel, name)
+            if os.path.exists(dst):
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(os.path.join(dirpath, name), dst)
+            n += 1
+    return n
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--roots", nargs="*",
@@ -90,7 +111,15 @@ def main():
     p.add_argument("--max-file-kb", type=int, default=512,
                    help="skip any single file larger than this (keeps "
                         "checkpoints and other heavyweights out of git)")
+    p.add_argument("--restore", action="store_true",
+                   help="copy results/ back under the repo root (skips "
+                        "files that already exist) instead of archiving")
     args = p.parse_args()
+    if args.restore:
+        n = restore(args.out)
+        print(f"restored {n} files from "
+              f"{os.path.relpath(args.out, os.getcwd())}")
+        return 0
     n_copied, n_kept = archive(args.roots, args.out, args.max_file_kb)
     print(f"archived {n_copied} new/changed files ({n_kept} unchanged) "
           f"-> {os.path.relpath(args.out, os.getcwd())}")
