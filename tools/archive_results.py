@@ -53,15 +53,15 @@ def _copy_if_changed(src, dst):
     return True
 
 
-def archive(roots, out_root, max_kb):
+def archive(roots, out_root, max_kb, repo=REPO):
     n_copied = n_kept = 0
     for root in roots:
-        src_root = os.path.join(REPO, root)
+        src_root = os.path.join(repo, root)
         if not os.path.isdir(src_root):
             continue
         for dirpath, dirnames, filenames in os.walk(src_root):
             dirnames[:] = [d for d in dirnames if d != "campaign-logs"]
-            rel = os.path.relpath(dirpath, REPO)
+            rel = os.path.relpath(dirpath, repo)
             for name in sorted(filenames):
                 src = os.path.join(dirpath, name)
                 if not _want(src, name, max_kb):
@@ -73,7 +73,7 @@ def archive(roots, out_root, max_kb):
                     n_kept += 1
     # campaign logs: keep only the top-level timeline, not per-run stdout.
     for root in roots:
-        log = os.path.join(REPO, root, "campaign-logs", "campaign.log")
+        log = os.path.join(repo, root, "campaign-logs", "campaign.log")
         if os.path.exists(log):
             if _copy_if_changed(log, os.path.join(
                     out_root, root, "campaign-logs", "campaign.log")):
@@ -81,7 +81,7 @@ def archive(roots, out_root, max_kb):
     return n_copied, n_kept
 
 
-def restore(out_root):
+def restore(out_root, repo=REPO):
     """Copy archived snapshots back under the repo root, never
     overwriting a live file. Gives a fresh VM's figure CLIs the previous
     rounds' stats immediately; note a later `train-nets <expt> --resume`
@@ -93,7 +93,7 @@ def restore(out_root):
     for dirpath, _, filenames in os.walk(out_root):
         rel = os.path.relpath(dirpath, out_root)
         for name in filenames:
-            dst = os.path.join(REPO, rel, name)
+            dst = os.path.join(repo, rel, name)
             if os.path.exists(dst):
                 continue
             os.makedirs(os.path.dirname(dst), exist_ok=True)
