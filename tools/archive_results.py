@@ -16,6 +16,7 @@ on a loop).
 """
 
 import argparse
+import hashlib
 import os
 import re
 import shutil
@@ -37,6 +38,14 @@ def _want(path, name, max_kb):
     return True
 
 
+def _hash(path):
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.digest()
+
+
 def _copy_if_changed(src, dst):
     try:
         s = os.stat(src)
@@ -44,13 +53,41 @@ def _copy_if_changed(src, dst):
         return False
     try:
         d = os.stat(dst)
-        if d.st_size == s.st_size and d.st_mtime >= s.st_mtime:
-            return False
+        # Fast path: strictly newer dst with equal size is assumed
+        # current; equal mtime falls through to a content-hash check so
+        # a same-size rewrite within one mtime tick is still archived.
+        if d.st_size == s.st_size:
+            if d.st_mtime > s.st_mtime:
+                return False
+            if _hash(src) == _hash(dst):
+                return False
     except OSError:
         pass
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     shutil.copy2(src, dst)
     return True
+
+
+def prune(roots, out_root, repo=REPO):
+    """Remove archived files whose source no longer exists under the
+    live roots, so renamed/deleted experiments do not persist in the
+    committed tree (and restore() cannot resurrect them). Only run when
+    the live roots are fully populated — on a fresh VM before training
+    has re-created nets/, pruning would wipe the archive."""
+    n = 0
+    for root in roots:
+        arch_root = os.path.join(out_root, root)
+        if not os.path.isdir(arch_root):
+            continue
+        for dirpath, _, filenames in os.walk(arch_root, topdown=False):
+            rel = os.path.relpath(dirpath, out_root)
+            for name in filenames:
+                if not os.path.exists(os.path.join(repo, rel, name)):
+                    os.remove(os.path.join(dirpath, name))
+                    n += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+    return n
 
 
 def archive(roots, out_root, max_kb, repo=REPO):
@@ -93,6 +130,11 @@ def restore(out_root, repo=REPO):
     for dirpath, _, filenames in os.walk(out_root):
         rel = os.path.relpath(dirpath, out_root)
         for name in filenames:
+            # Defense in depth: apply the same checkpoint filter as
+            # archive() so a hand-added checkpoint committed under
+            # results/ is never planted into live nets/.
+            if CHECKPOINT_RE.match(name):
+                continue
             dst = os.path.join(repo, rel, name)
             if os.path.exists(dst):
                 continue
@@ -114,12 +156,19 @@ def main():
     p.add_argument("--restore", action="store_true",
                    help="copy results/ back under the repo root (skips "
                         "files that already exist) instead of archiving")
+    p.add_argument("--prune", action="store_true",
+                   help="also delete archived files whose live source "
+                        "is gone (only safe when the live roots are "
+                        "fully populated, not on a fresh VM)")
     args = p.parse_args()
     if args.restore:
         n = restore(args.out)
         print(f"restored {n} files from "
               f"{os.path.relpath(args.out, os.getcwd())}")
         return 0
+    if args.prune:
+        n = prune(args.roots, args.out)
+        print(f"pruned {n} stale archived files")
     n_copied, n_kept = archive(args.roots, args.out, args.max_file_kb)
     print(f"archived {n_copied} new/changed files ({n_kept} unchanged) "
           f"-> {os.path.relpath(args.out, os.getcwd())}")

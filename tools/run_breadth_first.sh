@@ -1,16 +1,17 @@
 #!/bin/bash
-# Fresh-microVM repopulation, BREADTH-FIRST variant of run_r2_repopulate.sh.
+# Fresh-microVM repopulation chain, round-3 (80k-FIRST) variant.
 #
-# Rationale: on a new machine the compile cache is cold and the round's
-# wall-clock may be short, so we want (a) bench.py's flagship program warm
-# for the driver's end-of-round run, (b) as many distinct nets/<expt>
-# outputs as possible for the figure CLIs / descriptor-schema checks, and
-# only then (c) the long 80k-iter runs. Figures are regenerated after each
-# phase so an interrupted chain still leaves a coherent artifact set.
+# VERDICT r2 Missing #1: the committed results/ tree only held 10k-iter
+# stand-ins; the full-budget campaigns died with prior VMs. Since
+# checkpoints are not archived, every run restarts from scratch on a
+# fresh VM anyway — so this round trains the headline hybrid registry
+# straight to the reference's full 80,000-iter budget FIRST, then the
+# rest, breadth phases last. Figures regenerate after each phase so an
+# interrupted chain still leaves a coherent artifact set, and the
+# archive watcher commits results/ every 5 min.
 #
 # Every training step is --resume: re-running this script after an
-# interruption (or on the next round's fresh VM) continues where it left
-# off given the same nets/ contents.
+# interruption continues where it left off given the same nets/.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs
@@ -23,6 +24,7 @@ run() {
     echo "=== $(date -u +%H:%M:%S) done  $name rc=$rc" | tee -a nets/campaign-logs/campaign.log
     if [ $rc -ne 0 ]; then
         tail -20 "nets/campaign-logs/$name.log"
+        echo "FAILURES: $name rc=$rc" | tee -a nets/campaign-logs/campaign.log
     fi
 }
 
@@ -36,21 +38,49 @@ figs() {
 # bench.py run compiles) and record the number.
 run bench-warm timeout 3600 python bench.py
 
-# Phase A: 10k hybrid ablation suite (9 outputs; programs shared across most).
-HY="--n-iter 10000 --precision bf16 --analytic-l2"
-run hybrid-ac        ./scripts/train-nets hybrid-ac --resume        --vmap-sweep $HY
-run hybrid-ac-nokdec ./scripts/train-nets hybrid-ac-nokdec --resume --vmap-sweep $HY
-run hybrid-ac-notalr ./scripts/train-nets hybrid-ac-notalr --resume --vmap-sweep $HY
-run hybrid-cr        ./scripts/train-nets hybrid-cr --resume        --vmap-sweep $HY
-run hybrid-cr-opt    ./scripts/train-nets hybrid-cr-opt --resume    --vmap-sweep $HY
-run hybrid-cr-clserr ./scripts/train-nets hybrid-cr-clserr --resume --vmap-sweep $HY
-run hybrid-cr-notalr ./scripts/train-nets hybrid-cr-notalr --resume --vmap-sweep $HY
-run hybrid-sr        ./scripts/train-nets hybrid-sr --resume        $HY
-run hybrid-ac-tree   ./scripts/train-nets hybrid-ac-tree --resume   --vmap-sweep $HY
-run hybrid-ac-globopt ./scripts/train-nets hybrid-ac-globopt --resume --vmap-sweep $HY
+# Phase A: hybrid registry at the FULL 80k reference budget
+# (arch_and_hypers.py:33): core strategies + the 5 ablations + globopt.
+FB="--precision bf16 --analytic-l2"
+run hybrid-ac         ./scripts/train-nets hybrid-ac --resume         --vmap-sweep $FB
+run hybrid-cr         ./scripts/train-nets hybrid-cr --resume         --vmap-sweep $FB
+run hybrid-sr         ./scripts/train-nets hybrid-sr --resume         $FB
+run hybrid-ac-tree    ./scripts/train-nets hybrid-ac-tree --resume    --vmap-sweep $FB
+run hybrid-ac-nokdec  ./scripts/train-nets hybrid-ac-nokdec --resume  --vmap-sweep $FB
+run hybrid-ac-notalr  ./scripts/train-nets hybrid-ac-notalr --resume  --vmap-sweep $FB
+run hybrid-cr-opt     ./scripts/train-nets hybrid-cr-opt --resume     --vmap-sweep $FB
+run hybrid-cr-clserr  ./scripts/train-nets hybrid-cr-clserr --resume  --vmap-sweep $FB
+run hybrid-cr-notalr  ./scripts/train-nets hybrid-cr-notalr --resume  --vmap-sweep $FB
+run hybrid-ac-globopt ./scripts/train-nets hybrid-ac-globopt --resume --vmap-sweep $FB
 figs
 
-# Phase B: dataset-complexity + width suites (10 more outputs, short budgets).
+# Phase B: the 4 hybrid dynkcpt adaptives at full budget.
+run hybrid-ac-dynkcpt      ./scripts/train-adaptive-nets hybrid-ac-dynkcpt --resume --precision bf16
+run hybrid-cr-dynkcpt      ./scripts/train-adaptive-nets hybrid-cr-dynkcpt --resume --precision bf16
+run hybrid-ac-tree-dynkcpt ./scripts/train-adaptive-nets hybrid-ac-tree-dynkcpt --resume --precision bf16 --stacked-tails
+run hybrid-cr-tree-dynkcpt ./scripts/train-adaptive-nets hybrid-cr-tree-dynkcpt --resume --precision bf16 --stacked-tails
+figs
+run figs-nlds ./scripts/make-nlds
+
+# Phase C: synth suite + remaining registry extensions at full budget.
+run synth-ac         ./scripts/train-nets synth-ac --resume --vmap-sweep $FB
+run synth-cr         ./scripts/train-nets synth-cr --resume --vmap-sweep $FB
+run synth-sr         ./scripts/train-nets synth-sr --resume $FB
+run synth-ac-globopt ./scripts/train-nets synth-ac-globopt --resume --vmap-sweep $FB
+run cifar10-cr       ./scripts/train-nets cifar10-cr --resume --vmap-sweep $FB
+run mnist-sr         ./scripts/train-nets mnist-sr --resume $FB
+run synth-ac-dynkcpt      ./scripts/train-adaptive-nets synth-ac-dynkcpt --resume --precision bf16
+run synth-ac-tree-dynkcpt ./scripts/train-adaptive-nets synth-ac-tree-dynkcpt --resume --precision bf16 --stacked-tails
+figs
+
+# Phase D: full-budget tree sweeps (the longest programs).
+run synth-ac-tree    ./scripts/train-nets synth-ac-tree --resume --vmap-sweep $FB
+run synth-cr-tree    ./scripts/train-nets synth-cr-tree --resume --vmap-sweep $FB
+figs
+run figs-nlds2 ./scripts/make-nlds
+
+# Phase E: dataset-complexity + width suites (short budgets, breadth for
+# the complexity/width acc-eff panels).
+HY="--n-iter 10000 --precision bf16 --analytic-l2"
 run cifar2-sr        ./scripts/train-nets cifar2-sr --resume  $HY
 run cifar2-ac        ./scripts/train-nets cifar2-ac --resume  --vmap-sweep $HY
 run cifar5-sr        ./scripts/train-nets cifar5-sr --resume  $HY
@@ -63,24 +93,5 @@ run cifar10-ac-fat    ./scripts/train-nets cifar10-ac-fat --resume    --vmap-swe
 run cifar10-sr-fatter ./scripts/train-nets cifar10-sr-fatter --resume $WS
 run cifar10-ac-fatter ./scripts/train-nets cifar10-ac-fatter --resume --vmap-sweep $WS
 figs
-
-# Phase C: full 80k reference-budget runs (each resumable at every t_log).
-FB="--precision bf16 --analytic-l2"
-run synth-ac         ./scripts/train-nets synth-ac --resume --vmap-sweep $FB
-run synth-cr         ./scripts/train-nets synth-cr --resume --vmap-sweep $FB
-run synth-sr         ./scripts/train-nets synth-sr --resume $FB
-run synth-ac-globopt ./scripts/train-nets synth-ac-globopt --resume --vmap-sweep $FB
-run cifar10-cr       ./scripts/train-nets cifar10-cr --resume --vmap-sweep $FB
-run mnist-sr         ./scripts/train-nets mnist-sr --resume $FB
-run synth-ac-dynkcpt ./scripts/train-adaptive-nets synth-ac-dynkcpt --resume --precision bf16
-run synth-ac-tree-dynkcpt ./scripts/train-adaptive-nets synth-ac-tree-dynkcpt --resume --precision bf16 --stacked-tails
-figs
-
-# Phase D: full-budget trees + adaptive trees (the longest programs).
-run synth-ac-tree    ./scripts/train-nets synth-ac-tree --resume --vmap-sweep $FB
-run synth-cr-tree    ./scripts/train-nets synth-cr-tree --resume --vmap-sweep $FB
-run hybrid-ac-tree-dynkcpt ./scripts/train-adaptive-nets hybrid-ac-tree-dynkcpt --resume --precision bf16 --stacked-tails
-run hybrid-cr-tree-dynkcpt ./scripts/train-adaptive-nets hybrid-cr-tree-dynkcpt --resume --precision bf16 --stacked-tails
-figs
-run figs-nlds ./scripts/make-nlds
+run figs-nlds3 ./scripts/make-nlds
 echo "=== breadth-first repopulate done ===" | tee -a nets/campaign-logs/campaign.log
