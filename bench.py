@@ -49,6 +49,110 @@ def ref_images_per_sec():
         return 1250.0
 
 
+def measure_routed_inference(n_batches=10, batch_size=1024):
+    """Second half of BASELINE.json's metric: routed sparse inference
+    throughput + realized mean op count vs dense masked eval
+    (mpnn_tpu.models.infer; scripts/infer-bench is the standalone CLI).
+
+    Uses the newest trained flagship chain checkpoint under nets/ when one
+    exists (routing then reflects a trained distribution); falls back to a
+    fresh init so the bench works on a blank VM. Returns a dict for the
+    `routed_inference` field of the ONE output JSON line, or None if
+    anything fails (the train metric must never be lost to this)."""
+    import glob
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from mpnn_tpu.models import init_training
+    from mpnn_tpu.models.infer import make_routed_infer_fn
+    from mpnn_tpu.utils.serdes import read_net
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = None
+    # Mid-sweep member (0004 = fifth k_cpt price) of the flagship AC
+    # experiments: a net whose trained router actually exits early.
+    for pat in ("nets/hybrid-ac/0004.npy", "nets/synth-ac/0004.npy",
+                "nets/hybrid-ac/000?.npy", "nets/*/000?.npy"):
+        hits = sorted(glob.glob(os.path.join(here, pat)))
+        if hits:
+            ckpt = hits[0]
+            break
+    if ckpt is not None:
+        try:
+            net, params, state, _ = read_net(ckpt)
+        except Exception:
+            ckpt = None
+    if ckpt is None:
+        from mpnn_tpu.experiments import ac_chain
+        net = ac_chain(k_cpt=1e-9)((32, 32, 3), (10,))
+        params, state, _ = init_training(net, seed=0)
+
+    data = os.path.join(here, "data", "hybrid.npz")
+    if os.path.exists(data):
+        from mpnn_tpu.data import Dataset
+        ds = Dataset(data, device_put=False)
+        reps = -(-batch_size // len(ds.x0_ts))
+        x0 = jnp.asarray(np.tile(ds.x0_ts, (reps, 1, 1, 1))[:batch_size])
+    else:
+        rng = np.random.RandomState(0)
+        x0 = jnp.asarray(
+            rng.rand(batch_size, *net.hypers.x0_shape).astype(np.float32))
+
+    out = {"checkpoint": os.path.relpath(ckpt, here) if ckpt else None,
+           "batch_size": batch_size}
+
+    # Dense baseline: what the reference pays at eval -- EVERY branch for
+    # every example (scripts/lib/net_types.py:127-129; routing only masks
+    # the statistics). One jitted all-branches forward; the checksum over
+    # every leaf's error head + router logits keeps all paths alive.
+    from mpnn_tpu.models.net import Ctx
+    y_dummy = jnp.zeros((batch_size,) + tuple(net.hypers.y_shape),
+                        jnp.float32)
+
+    @jax.jit
+    def dense_fwd(params, state, x0):
+        ctx = Ctx(train=False, rng=None, tau=1.0, eps=1e-6,
+                  k_cpt=net.hypers.k_cpt)
+        recs, _ = net.forward(params, state, x0, y_dummy, ctx)
+        acc = 0.0
+        for r in recs.values():
+            for v in jax.tree.leaves((r.x, r.c_err, r.router_x)):
+                if hasattr(v, "astype"):
+                    acc = acc + jnp.sum(v.astype(jnp.float32))
+        return acc
+
+    np.asarray(dense_fwd(params, state, x0))  # compile + settle
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(n_batches):
+        acc = acc + dense_fwd(params, state, x0)
+    np.asarray(acc)  # sync bounds all device work (see timing note above)
+    dt = time.perf_counter() - t0
+    dense_ops = float(sum(
+        node.n_ops + (node.router.n_ops if node.router is not None else 0.0)
+        for node in net.layers))
+    out["dense"] = {"images_per_sec": round(n_batches * batch_size / dt, 1),
+                    "mean_ops_per_example": dense_ops}
+
+    # Routed sparse inference: realize the savings the router promises.
+    for mode, cap in (("routed", 1.0), ("routed_cap0.5", 0.5)):
+        infer = make_routed_infer_fn(net, batch_size, capacities=cap)
+        r = infer(params, state, x0, None)
+        np.asarray(r["ops"])  # sync after compile
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            r = infer(params, state, x0, None)
+        ops = np.asarray(r["ops"])  # sync bounds all device work
+        dt = time.perf_counter() - t0
+        out[mode] = {"images_per_sec": round(n_batches * batch_size / dt, 1),
+                     "mean_ops_per_example": float(ops.mean())}
+    if dense_ops:
+        out["flops_savings_vs_dense"] = round(
+            1.0 - out["routed"]["mean_ops_per_example"] / dense_ops, 4)
+    return out
+
+
 def main():
     from mpnn_tpu.utils import jaxcache
     jaxcache.wait_for_backend()  # ride out transient TPU-tunnel outages
@@ -114,6 +218,14 @@ def main():
 
     assert np.isfinite(cs_host[-1]).all(), f"non-finite loss {cs_host[-1]}"
     value = n_chunks * chunk * batch_size * n_nets / dt
+
+    # Second half of BASELINE.json's metric string (VERDICT r2 Missing #5):
+    # routed-inference images/sec + realized mean FLOPs, same JSON line.
+    try:
+        routed = measure_routed_inference()
+    except Exception as e:  # the train metric must never be lost to this
+        routed = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "cifar10-ac k_cpt-sweep train throughput "
                   "(8 nets x 8-deep actor chain, b128/net, vmapped)",
@@ -121,6 +233,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(value / (NORTH_STAR_MULT * ref_images_per_sec()),
                              3),
+        "routed_inference": routed,
     }))
 
 
