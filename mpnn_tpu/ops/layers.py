@@ -26,6 +26,7 @@ with reference scripts/lib/layer_types.py is cited per class below.
 """
 
 import math
+import unicodedata
 from types import SimpleNamespace as Ns
 
 import numpy as np
@@ -130,6 +131,14 @@ class Layer:
         self.router = router
         self.sinks = list(sinks) if sinks else []
         self.comps = list(comps) if comps else []
+        # NFKC-normalize hyper names: Python normalizes identifiers at
+        # parse (source kwarg `ϵ` U+03F5 becomes attr `ε` U+03B5), but keys
+        # arriving via **dict -- e.g. decoded from a checkpoint record --
+        # do not. Without this, a record key 'ϵ' would shadow nothing and
+        # the layer would silently use the default (the NFKC bug class
+        # caught by tests/test_step_oracle.py).
+        hypers = {unicodedata.normalize("NFKC", k): v
+                  for k, v in hypers.items()}
         self.hypers = Ns(**{**dict(type(self).default_hypers), **hypers})
         # Fixed by build():
         self.out_shape = None   # per-example shape tuple, or list for pyramids
@@ -301,6 +310,29 @@ class GlobalMaxPool(Layer):
 # Multiscale transformation layers
 ################################################################################
 
+def _tf1_legacy_resize(x, out_h, out_w):
+    """TF1 `tf.image.resize_images` bilinear, align_corners=False (the
+    pre-TF2 legacy grid): src = dst * (in/out) with NO half-pixel shift,
+    clamped (reference scripts/lib/layer_types.py:122-124). At integer
+    ratios the interpolation weights are exactly zero, so the fast path is
+    a strided slice (gather-free; matters on TPU). Index/weight tables are
+    computed at trace time from static shapes."""
+    n, h, w, c = x.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return x[:, ::h // out_h, ::w // out_w]
+    ys = np.arange(out_h) * (h / out_h)
+    xs = np.arange(out_w) * (w / out_w)
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = jnp.asarray((ys - y0)[None, :, None, None], x.dtype)
+    wx = jnp.asarray((xs - x0)[None, None, :, None], x.dtype)
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 class ToPyramid(Layer):
     """Image pyramid: n_scales bilinear-resized copies at (h/2^i, w/2^i);
     downstream activations become lists of arrays
@@ -308,7 +340,9 @@ class ToPyramid(Layer):
 
     Resizing uses jax.image half-pixel-center bilinear (the modern, better
     behaved kernel) rather than TF1's legacy grid; parity for training curves
-    is behavioral, not bitwise."""
+    is behavioral, not bitwise. `ops.config.set_pyramid_tf1(True)` switches
+    to the exact TF1 legacy grid for reference-checkpoint import/validation
+    (PARITY.md: trained params do not transfer across grids)."""
 
     default_hypers = dict(n_scales=1)
 
@@ -323,6 +357,8 @@ class ToPyramid(Layer):
         for (h, w, c) in self.out_shape:
             if (h, w) == x.shape[1:3]:
                 out.append(x)
+            elif config.pyramid_tf1:
+                out.append(_tf1_legacy_resize(x, h, w))
             else:
                 out.append(jax.image.resize(
                     x, (x.shape[0], h, w, c), method="bilinear"))

@@ -17,7 +17,15 @@ even though at runtime they are state, not trainable params.
 Extension over the reference (SURVEY.md section 5 "checkpoint/resume"): an
 optional top-level 'extra' dict carrying {'vel': <momentum pytree>, 't':
 step} so training resumes exactly; readers of the reference schema ignore
-it."""
+it.
+
+Reference-written records import directly: class names, hyper names and
+parameter names ('w', 'b', 'w_horz_i', 'γ', 'm_avg', ...) are shared
+byte-for-byte, 'extra' is optional, and raw (non-NFKC) unicode hyper keys
+such as 'ϵ' U+03F5 are normalized at Layer/Net construction
+(tests/test_reference_import.py). NOTE the numerical caveat: reference-
+TRAINED parameters only evaluate correctly under the TF1 pyramid grid --
+run with --pyramid-tf1 / ops.config.set_pyramid_tf1(True) (PARITY.md)."""
 
 import os
 
