@@ -57,8 +57,30 @@ class Dataset:
         self._dtype = dtype
         self._device_arrays = {}
         self._padded_cache = {}
+        self._global_mesh = None
         if device_put:
             self.stage()
+
+    def set_global_mesh(self, mesh):
+        """Multi-process staging mode: every device array this dataset
+        produces (train split + padded eval splits) becomes a globally-
+        REPLICATED jax.Array on `mesh`, built from each process's identical
+        host copy -- the input path of a multi-host data-parallel run (the
+        jitted step's sharding constraints then split the batch over the
+        global 'data' axis; the split itself never crosses DCN). Clears any
+        process-local staging."""
+        self._global_mesh = mesh
+        self._device_arrays = {}
+        self._padded_cache.clear()
+
+    def _put(self, a, dtype=None):
+        """Device placement honoring set_global_mesh (see above); `dtype`
+        conversion happens on host before the transfer."""
+        a = np.asarray(a, dtype if dtype is not None else self._dtype)
+        if self._global_mesh is not None and jax.process_count() > 1:
+            from ..parallel.multihost import replicate_to_global
+            return replicate_to_global(self._global_mesh, a)
+        return jnp.asarray(a)
 
     @property
     def x0_shape(self):
@@ -75,12 +97,15 @@ class Dataset:
         it fits v5e HBM whole, eliminating the reference's per-step
         host->device feed.
         """
-        put = (lambda a: jax.device_put(a, sharding)) if sharding is not None \
-            else jax.device_put
+        if sharding is not None:
+            put = lambda a: jax.device_put(jnp.asarray(a, self._dtype),
+                                           sharding)  # noqa: E731
+        else:
+            put = self._put
         self._device_arrays = {
-            "x0_tr": put(jnp.asarray(self.x0_tr, self._dtype)),
-            "y_tr": put(jnp.asarray(self.y_tr, self._dtype)),
-            "m_sym": put(jnp.asarray(self.m_sym, self._dtype)),
+            "x0_tr": put(self.x0_tr),
+            "y_tr": put(self.y_tr),
+            "m_sym": put(self.m_sym),
         }
         return self
 
@@ -130,8 +155,8 @@ class Dataset:
         x0p = x0p.reshape((nb, batch_size) + x0.shape[1:])
         yp = yp.reshape((nb, batch_size) + y.shape[1:])
         mask = mask.reshape(nb, batch_size)
-        out = (jnp.asarray(x0p, self._dtype), jnp.asarray(yp, self._dtype),
-               jnp.asarray(mask), n)
+        out = (self._put(x0p), self._put(yp),
+               self._put(mask, np.float32), n)
         while len(self._padded_cache) >= self.PADDED_CACHE_MAX:
             # dicts preserve insertion order; the first key is the LRU.
             # Dropping the reference frees the HBM buffers once any

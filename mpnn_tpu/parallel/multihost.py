@@ -73,6 +73,27 @@ def global_batch(mesh, local_arrays, axis="data"):
     return jax.tree.map(put, local_arrays)
 
 
+def replicate_to_global(mesh, tree):
+    """Turn per-process host/local arrays into globally-REPLICATED
+    jax.Arrays on a multi-process mesh.
+
+    Multi-process jit rejects process-local committed jax.Arrays (e.g.
+    init_training outputs or PRNG keys created per process); every process
+    holds identical values here, so each one supplies the full array as its
+    local shard of a fully-replicated global array. Host numpy inputs pass
+    through jit unchanged either way, so calling this in a single-process
+    run is a cheap no-op placement."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_process_local_data(sharding, a, a.shape)
+
+    return jax.tree.map(put, tree)
+
+
 def sync_global_devices(tag="barrier"):
     """Cross-process barrier (e.g. before the primary writes files that
     other processes will read)."""

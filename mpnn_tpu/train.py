@@ -35,11 +35,30 @@ from .utils.serdes import write_net, atomic_save
 __all__ = ["train_one_net", "train_experiment", "train_adaptive_experiment"]
 
 
+def _is_writer():
+    """Single-writer gating for multi-process (multi-host DCN) runs: only
+    process 0 touches stats/log/checkpoint files (SURVEY.md section 2.2;
+    mpnn_tpu.parallel.multihost). Trivially True single-process."""
+    return jax.process_index() == 0
+
+
+def _globalize(mesh, tree):
+    """Make per-process arrays (init outputs, PRNG keys) valid inputs to a
+    jit spanning a multi-process mesh: globally-replicated jax.Arrays.
+    No-op single-process."""
+    if mesh is None or jax.process_count() == 1:
+        return tree
+    from .parallel.multihost import replicate_to_global
+    return replicate_to_global(mesh, jax.device_get(tree))
+
+
 def _write_manifest(out_dir, dataset):
     """nets/<expt>/MANIFEST.json: machine-readable dataset provenance so a
     directory named after a real dataset can never silently hold synthetic
     stand-in results (VERDICT r1 weak #4). Written by every experiment
-    driver before any stats file."""
+    driver before any stats file. Multi-process: primary-only."""
+    if not _is_writer():
+        return
     os.makedirs(out_dir, exist_ok=True)
     prov = dataset.provenance
     if prov is None:
@@ -63,7 +82,9 @@ def _write_epoch_outputs(out_dir, i, t, desc, net, params, state, vel, *,
     paths: `%.4i-stats/%.8i.npy` snapshot, `%.4i-stats.npy` latest,
     rendered tree appended to `%.4i-log.txt`, `%.4i.npy` checkpoint with
     optimizer state + step (reference scripts/train-nets:144-157, plus the
-    resume extension)."""
+    resume extension). Multi-process: primary-only (single writer)."""
+    if not _is_writer():
+        return
     text = render_net_desc(desc, "%s/%.4i.npy — Epoch %i" % (out_dir, i, t))
     os.makedirs(out_dir, exist_ok=True)
     if save_snapshots:
@@ -107,14 +128,24 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
             params = None
     if params is None:
         params, state, vel = init_training(net, seed)
+    # Multi-process mesh: training state and the PRNG key become globally
+    # replicated arrays (per-process committed arrays are rejected by a jit
+    # spanning processes); the dataset stages globally too.
+    if mesh is not None and jax.process_count() > 1:
+        dataset.set_global_mesh(mesh)
+        params, state, vel = _globalize(mesh, (params, state, vel))
     loop = make_train_loop(net, batch_size, schedules, mesh=mesh)
     # Pass the static k_cpt as a traced scalar so every net of a k_cpt
     # sweep reuses one compiled program (sweeps differ only in this value).
+    multiproc = mesh is not None and jax.process_count() > 1
+    # Host scalar under multi-process (auto-replicated by jit); a committed
+    # device scalar otherwise (keeps the single-process compile-cache key).
+    k_scalar = np.float32 if multiproc else jnp.float32
     k_cpt_traced = (None if schedules.k_cpt_sample is not None
-                    else jnp.float32(getattr(net.hypers, "k_cpt", 0.0)))
+                    else k_scalar(getattr(net.hypers, "k_cpt", 0.0)))
     eval_split = make_eval_split_fn(net, eval_batch_size, mesh=mesh)
     x0_tr, y_tr, m_sym = dataset.train_arrays
-    rng = jax.random.PRNGKey(seed + 1)
+    rng = _globalize(mesh, jax.random.PRNGKey(seed + 1))
     desc = None
 
     if profile_dir is not None:
@@ -141,8 +172,8 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
                         batch_size=eval_batch_size,
                         tau=_tau_at(tau_fn, t - 1, net),
                         k_cpt=k_cpt_eval, eval_split=eval_split,
-                        eval_key=jax.random.fold_in(
-                            jax.random.PRNGKey(seed + 2), t))
+                        eval_key=_globalize(mesh, jax.random.fold_in(
+                            jax.random.PRNGKey(seed + 2), t)))
         if out_dir is not None:
             # Periodic checkpoint: the eval cadence doubles as the
             # resume point (SURVEY.md section 5).
@@ -239,6 +270,13 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
     cross-net collectives); a data axis >1 additionally splits each batch."""
     k_cpts = np.asarray(expt.sweep_k_cpts, np.float32)
     n_nets = len(k_cpts)
+    if mesh is not None and jax.process_count() > 1:
+        raise NotImplementedError(
+            "vmap-sweep training over a multi-PROCESS mesh is not "
+            "supported: per-net checkpoint writes would need an all-gather "
+            "of 'sweep'-sharded state to the primary. Run the sweep "
+            "single-process (one host drives the whole slice) or train "
+            "data-parallel multi-host without --vmap-sweep.")
     if mesh is not None and n_nets % mesh.shape["sweep"] != 0:
         raise ValueError(
             "sweep of %d nets does not tile the %d-way 'sweep' mesh axis"
@@ -381,6 +419,8 @@ def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,
         reference's 8-files-as-a-sweep contract, train-adaptive-nets:
         101-105) and, unless latest_only, `%.4i-stats/%.8i.npy` history
         snapshots for make-videos."""
+        if not _is_writer():
+            return
         tau_t = _tau_at(expt.tau, t - 1, net)
         for i, k_cpt in enumerate(cfg.k_cpts):
             desc = net_desc(net, dataset, params, state,
@@ -403,15 +443,16 @@ def train_adaptive_experiment(expt_name, *, n_iter=None, batch_size=None,
         t += n_chunk
         if verbose:
             print("  --- Iteration %i ---\r" % t, end="", flush=True)
-        if t < n_iter:
+        if t < n_iter and _is_writer():
             write_net(ckpt_path, net, params, state,
                       extra={"vel": vel, "t": t})
             if stats_log:
                 write_stats(t)
     # Persist the final params BEFORE the 8-eval sweep: a crash during the
     # evals then resumes here instead of retraining the last chunk.
-    write_net(os.path.join(out_dir, "net.npy"), net, params, state,
-              extra={"vel": vel, "t": n_iter})
+    if _is_writer():
+        write_net(os.path.join(out_dir, "net.npy"), net, params, state,
+                  extra={"vel": vel, "t": n_iter})
     write_stats(n_iter, latest_only=not stats_log)
     if verbose:
         print()
