@@ -150,6 +150,277 @@ def render_experiment_grid(logs, expt, out_path, split="stats_ts",
     return out_path
 
 
+# ---------------------------------------------------------------------------
+# Reference-bespoke figures (scripts/make-nlds:42-234, ported 1:1 the way
+# viz/pres.py ports make-pres-figs): the chain-grid and single-tree diagrams
+# with the reference's exact node geometry — children fan out at angles
+# a = ((i+1)/(n+1) - 1/2)·π with dx=cos(a), dy=r·sin(a) and radius decay
+# r/len(sinks) (make-nlds:50-56,74-79) — plus its arrow annotations, axis
+# captions, and legend patches. Deviations: usetex/serif rcParams are not
+# forced (no TeX in this image), and chain grids take the max depth over
+# ALL sweep members rather than net 0's (make-nlds:106 — identical for the
+# homogeneous reference sweeps, robust for the SR depth ladder).
+
+# The hybrid dataset's 10 classes: MNIST digits 0-4 + 5 CIFAR-10 classes
+# (reference make-nlds:42-44).
+CLS_LABELS = ["0", "1", "2", "3", "4",
+              "Airplane", "Automobile", "Deer", "Frog", "Horse"]
+
+# The reference renders under seaborn-classic's 'deep' palette where
+# palette[0] is blue and palette[2] is red (make-nlds:68-69); pinned here so
+# the output contract survives seaborn reorderings.
+_COR_COLOR = "#4C72B0"
+_INC_COLOR = "#C44E52"
+_ARROW_KW = dict(fc="#909090", ec="#909090", linewidth=3, head_width=0.075)
+_CAPTION_KW = dict(fontsize="large", color="#606060")
+
+
+def _ref_bounds(node, x, y, r):
+    """Bounding box of the reference layout (make-nlds:46-57)."""
+    x0 = x1 = x
+    y0 = y1 = y
+    sinks = node["sinks"][1:]
+    for i, s in enumerate(sinks):
+        a = ((i + 1) / (len(sinks) + 1) - 0.5) * np.pi
+        x2, x3, y2, y3 = _ref_bounds(s, x + np.cos(a), y + r * np.sin(a),
+                                     r / len(sinks))
+        x0 = min(x0, x2); x1 = max(x1, x3)  # noqa: E702
+        y0 = min(y0, y2); y1 = max(y1, y3)  # noqa: E702
+    return x0, x1, y0, y1
+
+
+def _pie(ax, x, y, fracs, colors, radius):
+    """plt.pie-equivalent wedges: counterclockwise from 90° like the
+    reference's startangle=90 (make-nlds:65-73)."""
+    fracs = np.asarray(fracs, float)
+    total = fracs.sum()
+    theta = 90.0
+    for f, c in zip(fracs, colors):
+        if f <= 0:
+            continue
+        d = 360.0 * f / total
+        ax.add_patch(Wedge((x, y), radius, theta, theta + d,
+                           facecolor=c, edgecolor="none", zorder=3))
+        theta += d
+
+
+def _draw_ref_nld(ax, node, x, y, r, by_class):
+    """One subtree in the reference geometry (make-nlds:59-101): the node's
+    pie shows its LEAF's (sinks[0]) stopping mass — area ∝ p_cor+p_inc,
+    black dot below the 0.0025 floor — and edges continue into sinks[1:]."""
+    leaf = node["sinks"][0]["stats_ts"]
+    if by_class:
+        fracs = [c + i for c, i in zip(leaf["p_cor_by_cls"],
+                                       leaf["p_inc_by_cls"])]
+        colors = sns.color_palette("hls", len(fracs))
+    else:
+        fracs = [leaf["p_cor"], leaf["p_inc"]]
+        colors = [_COR_COLOR, _INC_COLOR]
+    p_tot = float(np.sum(fracs))
+    if p_tot > 0.0025:
+        _pie(ax, x, y, fracs, colors, np.sqrt(p_tot) / 2)
+    else:
+        ax.add_patch(Circle((x, y), np.sqrt(0.0025) / 2, color="k",
+                            zorder=3))
+    sinks = node["sinks"][1:]
+    for i, s in enumerate(sinks):
+        a = ((i + 1) / (len(sinks) + 1) - 0.5) * np.pi
+        x_s = x + np.cos(a)
+        y_s = y + r * np.sin(a)
+        ax.plot([x, x_s], [y, y_s], "k", linewidth=2, zorder=-1)
+        _draw_ref_nld(ax, s, x_s, y_s, r / len(sinks), by_class)
+
+
+def _acc_legend_patches():
+    from matplotlib.patches import Patch
+    return ([Patch(color=_COR_COLOR), Patch(color=_INC_COLOR)],
+            ["Correct Labels", "Incorrect Labels"])
+
+
+def _cls_legend_patches(n_cls, cls_labels=None):
+    from matplotlib.patches import Patch
+    labels = list(cls_labels or CLS_LABELS)[:n_cls]
+    return ([Patch(color=c) for c in sns.color_palette("hls", n_cls)],
+            labels)
+
+
+def _n_cls(desc):
+    node = desc["root"]["sinks"][0]
+    while "p_cor_by_cls" not in node["stats_ts"]:
+        node = node["sinks"][0]
+    return len(node["stats_ts"]["p_cor_by_cls"])
+
+
+def _chain_grid(descs, ax, by_class, x_off=0.0):
+    """One net per row at (x_off, i) (make-nlds:107-108,131-132); returns
+    the grid's max depth."""
+    max_depth = max(_ref_bounds(d["root"]["sinks"][0], 0, 0, 1)[1]
+                    for d in descs)
+    for i, d in enumerate(descs):
+        _draw_ref_nld(ax, d["root"]["sinks"][0], x_off, i, 1, by_class)
+    return max_depth
+
+
+def make_chain_acc_nld(descs, out_path):
+    """Reference make_chain_acc_nld (make-nlds:103-125): sweep rows of
+    correct/incorrect pies + cost/layer-index arrows + acc legend."""
+    fig, ax = plt.subplots()
+    n_nets = len(descs)
+    max_depth = _chain_grid(descs, ax, by_class=False)
+    ax.arrow(0.4 * max_depth, -0.6, 0.2 * max_depth, 0, **_ARROW_KW)
+    ax.arrow(-0.6, 0.2 * (n_nets - 1), 0, 0.6 * (n_nets - 1), **_ARROW_KW)
+    ax.set_ylabel("Cost of Computation", **_CAPTION_KW)
+    ax.set_xlabel("Layer Index", **_CAPTION_KW)
+    ax.set_xlim(-0.7, max_depth + 0.7)
+    ax.set_ylim(-0.7, n_nets - 0.7)
+    handles, labels = _acc_legend_patches()
+    fig.legend(handles, labels, loc="lower right", fontsize="medium")
+    ax.set_aspect("equal")
+    fig.set_size_inches(max_depth + 2, n_nets + 0.7)
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def make_chain_cls_nld(descs, out_path, cls_labels=None):
+    """Reference make_chain_cls_nld (make-nlds:127-148): per-class hue pies
+    with the named 10-class legend."""
+    fig, ax = plt.subplots()
+    n_nets = len(descs)
+    max_depth = _chain_grid(descs, ax, by_class=True)
+    ax.arrow(0.4 * max_depth, -0.6, 0.2 * max_depth, 0, **_ARROW_KW)
+    ax.arrow(-0.6, 0.2 * (n_nets - 1), 0, 0.6 * (n_nets - 1), **_ARROW_KW)
+    ax.set_ylabel("Cost of Computation", **_CAPTION_KW)
+    ax.set_xlabel("Layer Index", **_CAPTION_KW)
+    ax.set_xlim(-0.7, max_depth + 0.7)
+    ax.set_ylim(-0.7, n_nets - 0.7)
+    handles, labels = _cls_legend_patches(_n_cls(descs[0]), cls_labels)
+    fig.legend(handles, labels, loc="lower center", ncol=5,
+               columnspacing=1, fontsize="medium")
+    ax.set_aspect("equal")
+    fig.set_size_inches(max_depth + 2, n_nets + 2)
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def _tree_nld(desc, out_path, by_class, cls_labels, legend_loc,
+              legend_fontsize, xlabel_fontsize="large"):
+    """Shared tree renderer (make-nlds:150-186): one net at radius 2 with a
+    'Dataflow' arrow under the canvas."""
+    fig, ax = plt.subplots()
+    _draw_ref_nld(ax, desc["root"]["sinks"][0], 0, 0, 2, by_class)
+    x0, x1, y0, y1 = _ref_bounds(desc["root"]["sinks"][0], 0, 0, 2)
+    ax.arrow(0.35 * x1, y0 - 0.33, 0.3 * x1, 0, **_ARROW_KW)
+    ax.set_xlabel("Dataflow", fontsize=xlabel_fontsize, color="#606060")
+    ax.set_xlim(x0, x1)
+    ax.set_ylim(y0 - 0.4, y1 + 0.05)
+    if by_class:
+        handles, labels = _cls_legend_patches(_n_cls(desc), cls_labels)
+    else:
+        handles, labels = _acc_legend_patches()
+    fig.legend(handles, labels, loc=legend_loc, fontsize=legend_fontsize)
+    ax.set_aspect("equal")
+    fig.set_size_inches(x1 - x0 + 2, y1 - y0 + 2)
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def make_tree_acc_nld(desc, out_path):
+    """Reference make_tree_acc_nld (make-nlds:150-168)."""
+    return _tree_nld(desc, out_path, by_class=False, cls_labels=None,
+                     legend_loc="lower right", legend_fontsize="small")
+
+
+def make_tree_cls_nld(desc, out_path, cls_labels=None):
+    """Reference make_tree_cls_nld (make-nlds:170-186)."""
+    return _tree_nld(desc, out_path, by_class=True, cls_labels=cls_labels,
+                     legend_loc="lower left", legend_fontsize="medium",
+                     xlabel_fontsize="x-large")
+
+
+def make_chain_acc_and_cls_nld(descs, out_path, cls_labels=None):
+    """Reference make_chain_acc_and_cls_nld (make-nlds:188-229): the acc
+    grid and the by-class grid side by side, per-grid layer-index arrows +
+    captions drawn in data coordinates, and the two legends anchored under
+    their own grids."""
+    from matplotlib.patches import Patch
+    fig, ax = plt.subplots()
+    n_nets = len(descs)
+    max_depth = _chain_grid(descs, ax, by_class=False)
+    _chain_grid(descs, ax, by_class=True, x_off=max_depth + 1)
+    ax.set_xlim(-0.9, 2 * max_depth + 1.9)
+    ax.set_ylim(-1.7, n_nets - 0.7)
+    ax.arrow(-0.7, 0.2 * (n_nets - 1), 0, 0.6 * (n_nets - 1), **_ARROW_KW)
+    ax.text(-0.9, 0.5 * n_nets - 0.5, "Cost of Computation", va="center",
+            ha="center", rotation="vertical", **_CAPTION_KW)
+    ax.arrow(0.4 * max_depth, -0.5, 0.2 * max_depth, 0, **_ARROW_KW)
+    ax.text(0.5 * max_depth, -0.725, "Layer Index", va="center",
+            ha="center", **_CAPTION_KW)
+    ax.arrow(1.4 * max_depth + 1, -0.5, 0.2 * max_depth, 0, **_ARROW_KW)
+    ax.text(1.5 * max_depth + 1, -0.725, "Layer Index", va="center",
+            ha="center", **_CAPTION_KW)
+    ax.add_artist(ax.legend(
+        handles=[Patch(color=_COR_COLOR, label="Correct Labels"),
+                 Patch(color=_INC_COLOR, label="Incorrect Labels")],
+        bbox_to_anchor=(0, -1.8, max_depth, 0),
+        bbox_transform=ax.transData, loc="lower center",
+        fontsize="large"))
+    n_cls = _n_cls(descs[0])
+    labels = list(cls_labels or CLS_LABELS)[:n_cls]
+    ax.add_artist(ax.legend(
+        handles=[Patch(color=c, label=labels[i]) for i, c in
+                 enumerate(sns.color_palette("hls", n_cls))],
+        bbox_to_anchor=(max_depth + 1, -1.8, max_depth, 0),
+        bbox_transform=ax.transData, loc="lower center",
+        fontsize="large", ncol=5, columnspacing=1))
+    ax.set_aspect("equal")
+    fig.set_size_inches(2 * max_depth + 2, n_nets + 2)
+    fig.tight_layout(pad=0)
+    fig.savefig(out_path, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+# The reference's emitted inventory (make-nlds:233-234): figure name ->
+# (constructor kind, experiment, net index or None).
+REFERENCE_NLDS = {
+    "nld-0.pdf": ("chain_acc_and_cls", "hybrid-ac", None),
+    "nld-1.pdf": ("tree_cls", "hybrid-ac-tree", 0),
+}
+
+
+def render_reference_nlds(logs, fig_dir, inventory=None):
+    """Emit the reference's exact nld figure set (skip-missing, like
+    viz/pres.py): nld-0.pdf = hybrid-ac chain acc+cls grid, nld-1.pdf =
+    hybrid-ac-tree net-0 by-class tree."""
+    makedirs(fig_dir, exist_ok=True)
+    written = []
+    for dst, (kind, expt, idx) in (inventory or REFERENCE_NLDS).items():
+        descs = logs.get(expt)
+        if not descs or (idx is not None and idx >= len(descs)):
+            continue
+        out = join(fig_dir, dst)
+        if kind == "chain_acc_and_cls":
+            make_chain_acc_and_cls_nld(descs, out)
+        elif kind == "chain_acc":
+            make_chain_acc_nld(descs, out)
+        elif kind == "chain_cls":
+            make_chain_cls_nld(descs, out)
+        elif kind == "tree_acc":
+            make_tree_acc_nld(descs[idx], out)
+        elif kind == "tree_cls":
+            make_tree_cls_nld(descs[idx], out)
+        else:
+            raise ValueError(kind)
+        written.append(out)
+    return written
+
+
 def render_video_frames(snapshots, out_dir, split="stats_ts",
                         by_class=False):
     """Per-epoch frames (reference scripts/make-videos:258-277): one PNG per

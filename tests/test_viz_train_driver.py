@@ -92,6 +92,45 @@ def test_figures_from_driver_outputs(trained_dir):
     assert gif and os.path.exists(gif)
 
 
+def test_reference_bespoke_nlds(trained_dir):
+    """The reference's exact nld figure set (make-nlds:42-234, VERDICT r2
+    Next #5): all five constructors run on real driver descriptors, the
+    emitted inventory matches the reference's nld-0/nld-1 names, and the
+    layout geometry follows the reference's angular-fan recursion."""
+    from mpnn_tpu.viz import loading, nld
+    logs = loading.load_experiment_logs(str(trained_dir / "nets"))
+    fig_dir = str(trained_dir / "figures-bespoke")
+    os.makedirs(fig_dir, exist_ok=True)  # constructors write to the given
+    # path; only render_reference_nlds creates the directory itself
+    descs = logs["synth-ac"]
+
+    # Chain bounds: an n-deep chain spans exactly x in [0, depth] (every
+    # child sits at x+cos(0)=x+1, y unchanged — make-nlds:50-53).
+    x0, x1, y0, y1 = nld._ref_bounds(descs[0]["root"]["sinks"][0], 0, 0, 1)
+    assert (x0, y0, y1) == (0, 0, 0)
+    assert x1 == int(x1) and x1 >= 1
+
+    for fn in (nld.make_chain_acc_nld, nld.make_chain_cls_nld):
+        p = fn(descs, os.path.join(fig_dir, fn.__name__ + ".pdf"))
+        assert os.path.exists(p)
+    for fn in (nld.make_tree_acc_nld, nld.make_tree_cls_nld):
+        p = fn(descs[0], os.path.join(fig_dir, fn.__name__ + ".pdf"))
+        assert os.path.exists(p)
+    p = nld.make_chain_acc_and_cls_nld(
+        descs, os.path.join(fig_dir, "combined.pdf"))
+    assert os.path.exists(p)
+
+    # The emitted inventory carries the reference's exact names,
+    # skip-missing like viz/pres.py: synth-ac stands in for both entries.
+    inv = {"nld-0.pdf": ("chain_acc_and_cls", "synth-ac", None),
+           "nld-1.pdf": ("tree_cls", "synth-ac", 0)}
+    written = nld.render_reference_nlds(logs, fig_dir, inventory=inv)
+    assert sorted(os.path.basename(w) for w in written) == [
+        "nld-0.pdf", "nld-1.pdf"]
+    assert nld.render_reference_nlds({}, fig_dir) == []
+    assert set(nld.REFERENCE_NLDS) == {"nld-0.pdf", "nld-1.pdf"}
+
+
 def test_adaptive_driver(tmp_path):
     """train-adaptive-nets contract: one stats file per k_cpt + net.npy
     (reference scripts/train-adaptive-nets:101-107)."""
