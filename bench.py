@@ -76,7 +76,10 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
                 "nets/hybrid-ac/000?.npy", "nets/*/000?.npy"):
         hits = sorted(glob.glob(os.path.join(here, pat)))
         if hits:
-            ckpt = hits[0]
+            # Wildcard fallbacks: take the MIDDLE of the sorted hits, not
+            # hits[0] — member 0000 is the k_cpt=0 net whose router has no
+            # incentive to exit early (its "savings" would be ~0).
+            ckpt = hits[len(hits) // 2]
             break
     if ckpt is not None:
         try:
@@ -113,7 +116,7 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
     @jax.jit
     def dense_fwd(params, state, x0):
         ctx = Ctx(train=False, rng=None, tau=1.0, eps=1e-6,
-                  k_cpt=net.hypers.k_cpt)
+                  k_cpt=getattr(net.hypers, "k_cpt", 0.0))
         recs, _ = net.forward(params, state, x0, y_dummy, ctx)
         acc = 0.0
         for r in recs.values():
@@ -141,10 +144,16 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
         r = infer(params, state, x0, None)
         np.asarray(r["ops"])  # sync after compile
         t0 = time.perf_counter()
+        acc = 0.0
         for _ in range(n_batches):
             r = infer(params, state, x0, None)
-        ops = np.asarray(r["ops"])  # sync bounds all device work
+            # Chain a value through every batch: the final sync must
+            # depend on ALL the work (axon block_until_ready returns
+            # early; same pattern as the dense loop above).
+            acc = acc + jnp.sum(r["ops"])
+        np.asarray(acc)  # sync bounds all device work
         dt = time.perf_counter() - t0
+        ops = np.asarray(r["ops"])
         out[mode] = {"images_per_sec": round(n_batches * batch_size / dt, 1),
                      "mean_ops_per_example": float(ops.mean())}
     if dense_ops:

@@ -68,7 +68,11 @@ class Dataset:
         host copy -- the input path of a multi-host data-parallel run (the
         jitted step's sharding constraints then split the batch over the
         global 'data' axis; the split itself never crosses DCN). Clears any
-        process-local staging."""
+        process-local staging. No-op when `mesh` is already set: a serial
+        multi-net experiment calls this once per net, and re-clearing would
+        re-transfer the ~615 MB split + padded eval buffers every time."""
+        if mesh is self._global_mesh:
+            return
         self._global_mesh = mesh
         self._device_arrays = {}
         self._padded_cache.clear()

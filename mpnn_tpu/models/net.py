@@ -18,13 +18,12 @@ and identically for state. This makes the TALR per-node gradient rescaling
 """
 
 import itertools
-import unicodedata
 from types import SimpleNamespace as Ns
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.layers import NoOp
+from ..ops.layers import NoOp, nfkc_hypers
 
 
 class Ctx(Ns):
@@ -92,13 +91,8 @@ class Net:
 
     def __init__(self, root=None, **hypers):
         self.root = root if root is not None else NoOp()
-        # NFKC-normalize hyper names arriving via **dict (checkpoint
-        # records): source identifiers normalize at parse but dict keys do
-        # not, so e.g. key 'ϵ' (U+03F5) would otherwise shadow nothing and
-        # leave the default in attr 'ε' (see Layer.__init__ / _hyper).
-        hypers = {unicodedata.normalize("NFKC", k): v
-                  for k, v in hypers.items()}
-        self.hypers = Ns(**{**dict(type(self).default_hypers), **hypers})
+        self.hypers = Ns(**{**dict(type(self).default_hypers),
+                            **nfkc_hypers(hypers)})
         self.params = Ns()  # net-level params: always empty, kept for
         #                     checkpoint-schema parity (serdes.py:40-44)
         self.build()

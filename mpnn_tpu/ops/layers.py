@@ -42,7 +42,28 @@ __all__ = [
     "MultiscaleRect", "Select", "Dropout", "BatchNorm",
     "MultiscaleBatchNorm", "SquaredError", "CrossEntropyError",
     "SuperclassCrossEntropyError", "ActivityError", "Chain", "Aux",
+    "nfkc_hypers",
 ]
+
+
+def nfkc_hypers(hypers):
+    """NFKC-normalize hyper-dict keys (shared by Layer and Net).
+
+    Python normalizes identifiers at parse (source kwarg `ϵ` U+03F5
+    becomes attr `ε` U+03B5), but keys arriving via **dict -- e.g. decoded
+    from a checkpoint record -- do not. Without this, a record key 'ϵ'
+    would shadow nothing and the layer would silently use the default (the
+    NFKC bug class caught by tests/test_step_oracle.py). Two raw keys
+    normalizing to the same name (a corrupt record) raise rather than
+    letting one silently win."""
+    out = {}
+    for k, v in hypers.items():
+        nk = unicodedata.normalize("NFKC", k)
+        if nk in out:
+            raise ValueError(
+                "hyper keys %r and earlier one both normalize to %r" % (k, nk))
+        out[nk] = v
+    return out
 
 
 class Aux:
@@ -131,15 +152,8 @@ class Layer:
         self.router = router
         self.sinks = list(sinks) if sinks else []
         self.comps = list(comps) if comps else []
-        # NFKC-normalize hyper names: Python normalizes identifiers at
-        # parse (source kwarg `ϵ` U+03F5 becomes attr `ε` U+03B5), but keys
-        # arriving via **dict -- e.g. decoded from a checkpoint record --
-        # do not. Without this, a record key 'ϵ' would shadow nothing and
-        # the layer would silently use the default (the NFKC bug class
-        # caught by tests/test_step_oracle.py).
-        hypers = {unicodedata.normalize("NFKC", k): v
-                  for k, v in hypers.items()}
-        self.hypers = Ns(**{**dict(type(self).default_hypers), **hypers})
+        self.hypers = Ns(**{**dict(type(self).default_hypers),
+                            **nfkc_hypers(hypers)})
         # Fixed by build():
         self.out_shape = None   # per-example shape tuple, or list for pyramids
         self.n_ops = 0.0

@@ -132,6 +132,23 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
     # replicated arrays (per-process committed arrays are rejected by a jit
     # spanning processes); the dataset stages globally too.
     if mesh is not None and jax.process_count() > 1:
+        # Resume probes the checkpoint per-process: on a non-shared
+        # filesystem some processes can find it while others init fresh,
+        # which would replicate DIVERGENT "identical" state and desync the
+        # collective loop (a hang at best, silent corruption at worst).
+        # Cross-check a fingerprint before globalizing and fail loud.
+        from jax.experimental import multihost_utils
+        fp = np.asarray(
+            [float(t_start)]
+            + [np.float64(np.sum(np.abs(np.asarray(l, np.float64))))
+               for l in jax.tree.leaves(params)[:4]], np.float64)
+        fps = np.asarray(multihost_utils.process_allgather(fp))
+        if not np.allclose(fps, fps[0]):
+            raise RuntimeError(
+                "multi-host resume desync: processes disagree on "
+                "(t_start, param fingerprint) %r -- the checkpoint %r must "
+                "be visible to EVERY process (shared filesystem or "
+                "pre-replicated nets/ dir)" % (fps.tolist(), ckpt_path))
         dataset.set_global_mesh(mesh)
         params, state, vel = _globalize(mesh, (params, state, vel))
     loop = make_train_loop(net, batch_size, schedules, mesh=mesh)

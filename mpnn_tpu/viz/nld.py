@@ -237,11 +237,19 @@ def _acc_legend_patches():
             ["Correct Labels", "Incorrect Labels"])
 
 
+def _cls_label_list(n_cls, cls_labels=None):
+    """Exactly n_cls legend labels: the named list truncated or padded with
+    generic 'Class i' entries (descriptors can carry more classes than the
+    10-name hybrid default)."""
+    labels = list(cls_labels or CLS_LABELS)[:n_cls]
+    labels += ["Class %d" % i for i in range(len(labels), n_cls)]
+    return labels
+
+
 def _cls_legend_patches(n_cls, cls_labels=None):
     from matplotlib.patches import Patch
-    labels = list(cls_labels or CLS_LABELS)[:n_cls]
     return ([Patch(color=c) for c in sns.color_palette("hls", n_cls)],
-            labels)
+            _cls_label_list(n_cls, cls_labels))
 
 
 def _n_cls(desc):
@@ -371,7 +379,7 @@ def make_chain_acc_and_cls_nld(descs, out_path, cls_labels=None):
         bbox_transform=ax.transData, loc="lower center",
         fontsize="large"))
     n_cls = _n_cls(descs[0])
-    labels = list(cls_labels or CLS_LABELS)[:n_cls]
+    labels = _cls_label_list(n_cls, cls_labels)
     ax.add_artist(ax.legend(
         handles=[Patch(color=c, label=labels[i]) for i, c in
                  enumerate(sns.color_palette("hls", n_cls))],

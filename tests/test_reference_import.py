@@ -116,3 +116,14 @@ def test_reference_record_values_match_oracle(tmp_path, synth_dataset):
     finally:
         config.set_pyramid_tf1(False)
     assert report["ok"], report
+
+
+def test_nfkc_collision_raises():
+    """Two raw hyper keys normalizing to the same name (a corrupt record)
+    must raise, not let one silently win (review finding, round 3)."""
+    from mpnn_tpu.ops.layers import nfkc_hypers
+
+    with pytest.raises(ValueError, match="normalize"):
+        nfkc_hypers({LUNATE_EPS: 1e-3, "ε": 1e-6})
+    # Normal dicts pass through.
+    assert nfkc_hypers({"k_l2": 1.0}) == {"k_l2": 1.0}

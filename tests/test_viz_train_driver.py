@@ -334,3 +334,16 @@ def test_vmap_sweep_mesh_axis_validation(synth_npz_dir):
                          data_root=synth_npz_dir, out_root="/tmp/unused",
                          verbose=False, vmap_sweep=True,
                          mesh=make_mesh(n_data=8, n_model=1))
+
+
+def test_cls_labels_pad_past_ten():
+    """Legend labels for >10-class descriptors pad with generic names
+    instead of IndexError-ing (review finding, round 3)."""
+    from mpnn_tpu.viz.nld import _cls_label_list, CLS_LABELS
+
+    labels = _cls_label_list(13)
+    assert len(labels) == 13
+    assert labels[:10] == CLS_LABELS and labels[10:] == [
+        "Class 10", "Class 11", "Class 12"]
+    assert _cls_label_list(3) == CLS_LABELS[:3]
+    assert _cls_label_list(2, ["a", "b"]) == ["a", "b"]

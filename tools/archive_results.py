@@ -65,6 +65,13 @@ def _copy_if_changed(src, dst):
         pass
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     shutil.copy2(src, dst)
+    # copy2 preserves mtime, which would leave dst == src forever and send
+    # EVERY unchanged file down the equal-mtime hash path on each watcher
+    # pass. Nudge dst one ns past src so the strictly-newer fast path
+    # fires; a later same-size rewrite of src gets a fresh (higher) mtime
+    # and still falls through to the hash check.
+    st = os.stat(src)
+    os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
     return True
 
 
