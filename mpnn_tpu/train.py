@@ -70,6 +70,19 @@ def _write_manifest(out_dir, dataset):
         f.write("\n")
 
 
+def _fresh_log(out_dir, i):
+    """Remove a member's rendered log before a NON-resumed run: stats are
+    overwritten but the log is opened append-mode, so fresh retrains
+    (e.g. after a VM reboot loses checkpoints) used to accumulate
+    bitwise-identical concatenated trajectories (ADVICE r3). Resumed runs
+    keep appending, preserving the single continuous trajectory."""
+    if not _is_writer():
+        return
+    path = os.path.join(out_dir, "%.4i-log.txt" % i)
+    if os.path.exists(path):
+        os.remove(path)
+
+
 def _tau_at(tau_fn, t, net):
     if tau_fn is None:
         return float(getattr(net.hypers, "τ", 1.0))
@@ -128,6 +141,8 @@ def train_one_net(net, dataset, *, schedules, tau_fn, n_iter, t_log,
             params = None
     if params is None:
         params, state, vel = init_training(net, seed)
+        if out_dir is not None:
+            _fresh_log(out_dir, net_index)
     # Multi-process mesh: training state and the PRNG key become globally
     # replicated arrays (per-process committed arrays are rejected by a jit
     # spanning processes); the dataset stages globally too.
@@ -328,6 +343,8 @@ def _train_sweep(expt, expt_name, dataset, *, n_iter, t_log, batch_size,
                               % (expt_name, t_start))
     if members is None:
         members = [init_training(net, seed + i) for i in range(n_nets)]
+        for i in range(n_nets):
+            _fresh_log(out_dir, i)
     params_s = stack_trees([m[0] for m in members])
     state_s = stack_trees([m[1] for m in members])
     vel_s = stack_trees([m[2] for m in members])

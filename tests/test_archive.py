@@ -75,6 +75,30 @@ def test_archive_recopies_on_change(repo):
             "0000-stats.npy").read_bytes() == b"stats0+updated"
 
 
+def test_archive_checkpoints_opt_in_with_cap(repo, capsys):
+    """VERDICT r3 weak #1: per-net checkpoints are archived only with
+    ckpt_max_kb > 0, subject to the per-file cap (skips printed), and
+    restore plants them back where no live file exists."""
+    out = repo / "results"
+    big = repo / "nets" / "synth-sr" / "0001.npy"
+    big.write_bytes(b"x" * 2 * 1024 * 1024)  # an over-cap "fatter" member
+    ar.archive(["nets"], str(out), 512, repo=str(repo), ckpt_max_kb=1024)
+    assert (out / "nets" / "synth-sr" / "0000.npy").exists()
+    assert (out / "nets" / "synth-sr" / "net.npy").exists()
+    assert not (out / "nets" / "synth-sr" / "0001.npy").exists()
+    assert "skip checkpoint over --ckpt-max-kb" in capsys.readouterr().out
+    # Restore: checkpoint lands on a fresh tree, never over a live file.
+    fresh = repo / "fresh-vm"
+    fresh.mkdir()
+    ar.restore(str(out), repo=str(fresh))
+    assert (fresh / "nets" / "synth-sr" /
+            "0000.npy").read_bytes() == b"x" * 100
+    (fresh / "nets" / "synth-sr" / "0000.npy").write_bytes(b"live")
+    ar.restore(str(out), repo=str(fresh))
+    assert (fresh / "nets" / "synth-sr" /
+            "0000.npy").read_bytes() == b"live"
+
+
 def test_restore_never_overwrites_live_files(repo, tmp_path):
     out = repo / "results"
     ar.archive(["nets", "figures"], str(out), 512, repo=str(repo))

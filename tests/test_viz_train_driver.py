@@ -54,6 +54,21 @@ def test_resume_continues(trained_dir):
     assert int(extra["t"]) == 15
 
 
+def test_fresh_run_truncates_log(trained_dir, tmp_path):
+    """A NON-resumed retrain overwrites stats AND resets the rendered
+    log: append-mode logs used to accumulate bitwise-identical
+    trajectories across fresh retrains (ADVICE r3 #1). Resume (covered
+    above) keeps appending the single continuous trajectory."""
+    from mpnn_tpu.train import train_experiment
+    out_root = tmp_path / "nets"
+    for _ in range(2):
+        train_experiment("synth-ac", n_iter=5, t_log=5, batch_size=16,
+                         net_indices=[0], data_root=str(trained_dir),
+                         out_root=str(out_root), verbose=False)
+    log_text = (out_root / "synth-ac" / "0000-log.txt").read_text()
+    assert log_text.count("┌") == 1  # one tree, not two concatenated runs
+
+
 def test_figures_from_driver_outputs(trained_dir):
     """All figure paths work against real driver outputs."""
     from mpnn_tpu.viz import loading, acc_eff, nld, routing

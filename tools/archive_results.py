@@ -13,6 +13,19 @@ Usage: python tools/archive_results.py [--roots nets nets-stacked]
 Idempotent: re-copies only when size or mtime changed. Pair with
 `git add results/ && git commit` (tools/run_archive_watch.sh does this
 on a loop).
+
+Checkpoints (VERDICT r3 weak #1): with --include-checkpoints, the
+per-net experiment checkpoints (`NNNN.npy` / `net.npy`, which carry
+params + optimizer state + step) are ALSO archived, subject to
+--ckpt-max-kb per file (default covers the base-width chains; skips the
+fat/fatter width-ladder nets whose 8-net sets would add 0.2-0.7 GB of
+git history per retrain — every skip is printed). This flag is meant
+for EXPLICIT post-experiment calls from run scripts — NOT for the
+5-minute watcher loop, where a mid-training checkpoint rewritten every
+t_log would commit hundreds of MB of churn per hour. --restore plants
+archived checkpoints back only where no live file exists, so a fresh
+VM boots with trained params (bench's routed-inference half and
+`--resume` then need zero retraining).
 """
 
 import argparse
@@ -27,15 +40,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHECKPOINT_RE = re.compile(r"^(\d{4}\.npy|net\.npy)$")
 
 
-def _want(path, name, max_kb):
-    if CHECKPOINT_RE.match(name):
-        return False
+def _want(path, name, max_kb, ckpt_max_kb=0):
+    """ckpt_max_kb=0 (the watcher default) excludes checkpoints entirely;
+    >0 archives a checkpoint up to that size, printing any skip."""
     try:
-        if os.path.getsize(path) > max_kb * 1024:
-            return False
+        size = os.path.getsize(path)
     except OSError:
         return False
-    return True
+    if CHECKPOINT_RE.match(name):
+        if ckpt_max_kb <= 0:
+            return False
+        if size > ckpt_max_kb * 1024:
+            print("  [skip checkpoint over --ckpt-max-kb: %s (%.1f MB)]"
+                  % (path, size / 1e6))
+            return False
+        return True
+    return size <= max_kb * 1024
 
 
 def _hash(path):
@@ -97,7 +117,7 @@ def prune(roots, out_root, repo=REPO):
     return n
 
 
-def archive(roots, out_root, max_kb, repo=REPO):
+def archive(roots, out_root, max_kb, repo=REPO, ckpt_max_kb=0):
     n_copied = n_kept = 0
     for root in roots:
         src_root = os.path.join(repo, root)
@@ -108,7 +128,7 @@ def archive(roots, out_root, max_kb, repo=REPO):
             rel = os.path.relpath(dirpath, repo)
             for name in sorted(filenames):
                 src = os.path.join(dirpath, name)
-                if not _want(src, name, max_kb):
+                if not _want(src, name, max_kb, ckpt_max_kb):
                     continue
                 dst = os.path.join(out_root, rel, name)
                 if _copy_if_changed(src, dst):
@@ -128,20 +148,16 @@ def archive(roots, out_root, max_kb, repo=REPO):
 def restore(out_root, repo=REPO):
     """Copy archived snapshots back under the repo root, never
     overwriting a live file. Gives a fresh VM's figure CLIs the previous
-    rounds' stats immediately; note a later `train-nets <expt> --resume`
-    with no checkpoint on disk retrains that experiment from scratch and
-    overwrites the restored stats (checkpoints are not archived)."""
+    rounds' stats immediately, and — for experiments whose final
+    checkpoints were archived with --include-checkpoints — gives
+    `--resume` and bench.py's routed-inference half trained params with
+    zero retraining (VERDICT r3 weak #1)."""
     n = 0
     if not os.path.isdir(out_root):
         return n
     for dirpath, _, filenames in os.walk(out_root):
         rel = os.path.relpath(dirpath, out_root)
         for name in filenames:
-            # Defense in depth: apply the same checkpoint filter as
-            # archive() so a hand-added checkpoint committed under
-            # results/ is never planted into live nets/.
-            if CHECKPOINT_RE.match(name):
-                continue
             dst = os.path.join(repo, rel, name)
             if os.path.exists(dst):
                 continue
@@ -158,8 +174,20 @@ def main():
                             "figures-stacked"])
     p.add_argument("--out", default=os.path.join(REPO, "results"))
     p.add_argument("--max-file-kb", type=int, default=512,
-                   help="skip any single file larger than this (keeps "
-                        "checkpoints and other heavyweights out of git)")
+                   help="skip any single non-checkpoint file larger than "
+                        "this (keeps heavyweights out of git)")
+    p.add_argument("--include-checkpoints", action="store_true",
+                   help="also archive per-net experiment checkpoints "
+                        "(NNNN.npy / net.npy) up to --ckpt-max-kb each; "
+                        "call explicitly after an experiment completes, "
+                        "NOT from the 5-minute watcher loop")
+    p.add_argument("--ckpt-max-kb", type=int, default=8192,
+                   help="per-file size cap for --include-checkpoints "
+                        "(default 8 MB: covers the base-width chains "
+                        "~5.5 MB — flagship + adaptives + retried "
+                        "members; skips fat ~22 MB / fatter ~90 MB whose "
+                        "8-net sets would add 0.2-0.7 GB of git history "
+                        "per retrain; every skip is printed)")
     p.add_argument("--restore", action="store_true",
                    help="copy results/ back under the repo root (skips "
                         "files that already exist) instead of archiving")
@@ -176,7 +204,9 @@ def main():
     if args.prune:
         n = prune(args.roots, args.out)
         print(f"pruned {n} stale archived files")
-    n_copied, n_kept = archive(args.roots, args.out, args.max_file_kb)
+    n_copied, n_kept = archive(
+        args.roots, args.out, args.max_file_kb,
+        ckpt_max_kb=args.ckpt_max_kb if args.include_checkpoints else 0)
     print(f"archived {n_copied} new/changed files ({n_kept} unchanged) "
           f"-> {os.path.relpath(args.out, os.getcwd())}")
     return 0
