@@ -67,6 +67,14 @@ def make_routed_infer_fn(net, batch_size, capacities=1.0):
       probs:     (B, n_cls) class probabilities from each example's exit head
       exit_idx:  (B,) preorder index of the leaf the example exited through
       ops:       (B,) realized op count (the measured analogue of `moc`)
+      forced:    (n_switches,) per-switch count of examples the router
+                 selected for an internal child but that overflowed its
+                 capacity buffer and were force-exited through the
+                 switch's early-exit leaf (switches in preorder). All
+                 zeros at capacity 1.0; the engine's central trade-off —
+                 forced exits degrade accuracy as capacity shrinks — is
+                 measured by sweeping capacities (scripts/infer-bench
+                 --capacity, bench.py's capacity_sweep field).
 
     capacities: scalar fraction, or a per-switch list in preorder; internal
     children of switch s get buffers of ceil(f_s * B). 1.0 == dense hard
@@ -105,7 +113,9 @@ def make_routed_infer_fn(net, batch_size, capacities=1.0):
             "probs": jnp.zeros((B, n_cls), jnp.float32),
             "exit_idx": jnp.full((B,), -1, jnp.int32),
             "ops": jnp.zeros((B,), jnp.float32),
+            "forced": jnp.zeros((len(switches),), jnp.int32),
         }
+        switch_pos = {id(sw): i for i, sw in enumerate(switches)}
 
         def recurse(node, p, s, act, active_idx, ops_acc, cap):
             yd = jnp.zeros((cap, n_cls), jnp.float32)
@@ -154,6 +164,8 @@ def make_routed_infer_fn(net, batch_size, capacities=1.0):
                 kept = sel & (rank < child_cap)
                 overflow = overflow | (sel & ~kept)
                 plans.append((i, sink, kept, order[:child_cap]))
+            out["forced"] = out["forced"].at[switch_pos[id(node)]].add(
+                jnp.sum(overflow).astype(jnp.int32))
             # Leaf children: their own selections, plus (for the first leaf)
             # everything that overflowed an internal child.
             for i, sink in enumerate(node.sinks):

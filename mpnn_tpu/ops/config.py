@@ -98,6 +98,22 @@ def set_pyramid_tf1(flag):
     pyramid_tf1 = flag
 
 
+# Bug-compat mode for MaxPool (reference scripts/lib/layer_types.py:86-94):
+# the reference passes its `stride` hyper tuple as tf.nn.max_pool's ksize
+# argument and its `supp` k_shape as the strides argument (transposed), so
+# what it actually computes is window=stride, stride=supp. Default False
+# computes the documented intent (window=supp, stride=stride). Flip this
+# ONLY when importing a reference-trained checkpoint that contains a
+# MaxPool (none of the registry experiments do), the same way pyramid_tf1
+# covers the resize-grid deviation (PARITY.md).
+maxpool_tf1 = False
+
+
+def set_maxpool_tf1(flag):
+    global maxpool_tf1
+    maxpool_tf1 = flag
+
+
 def set_compute_dtype(dtype):
     """Set the global compute dtype (None, jnp.float32, or jnp.bfloat16)."""
     global compute_dtype

@@ -290,21 +290,30 @@ class MaxPool(Layer):
     """Strided SAME max-pool (reference scripts/lib/layer_types.py:86-94).
 
     Note: the reference passes its `stride` hyper as the TF kernel size and
-    `supp` as the stride (transposed arguments to tf.nn.max_pool); this class
-    implements the documented intent -- window `supp`, stride `stride`. The
-    layer is unused by every reference experiment."""
+    `supp` as the stride (transposed arguments to tf.nn.max_pool), so what
+    it actually computes is window=stride, stride=supp. By default this
+    class implements the documented intent -- window `supp`, stride
+    `stride`; config.set_maxpool_tf1(True) reproduces the reference's
+    transposed behavior for reference-checkpoint imports (the layer is
+    unused by every reference experiment, so nothing registry-level
+    depends on the choice; tests/test_layers.py pins both modes)."""
 
     default_hypers = dict(stride=1, supp=1)
 
+    def _window_stride(self):
+        if config.maxpool_tf1:
+            return self.hypers.stride, self.hypers.supp
+        return self.hypers.supp, self.hypers.stride
+
     def build(self, x_shape):
         h, w = x_shape[:2]
-        s = self.hypers.stride
+        _, s = self._window_stride()
         self.out_shape = (-(-h // s), -(-w // s)) + (x_shape[2],)
         self.n_ops = 0.0
 
     def apply(self, params, state, x, y, ctx):
-        return (max_pool_same(x, self.hypers.supp, self.hypers.stride),
-                state, Aux())
+        supp, stride = self._window_stride()
+        return max_pool_same(x, supp, stride), state, Aux()
 
 
 class GlobalMaxPool(Layer):

@@ -139,6 +139,28 @@ def test_all_examples_assigned(chain_net, synth_dataset):
                                atol=1e-4)
 
 
+def test_forced_exit_counts(chain_net, synth_dataset):
+    """The per-switch `forced` counters (VERDICT r3 next #3): zero at
+    capacity 1.0; at a tight capacity the first switch's count equals
+    exactly the examples the router selected to continue minus the
+    buffer size (at the FIRST switch routed and dense see identical
+    inputs, so the dense exits give that selection count)."""
+    net, params, state = chain_net
+    B = 48
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    out_d = make_routed_infer_fn(net, B, capacities=1.0)(params, state, x0)
+    assert np.asarray(out_d["forced"]).sum() == 0
+    child_cap = 4
+    out_t = make_routed_infer_fn(net, B, capacities=child_cap / B)(
+        params, state, x0)
+    forced = np.asarray(out_t["forced"])
+    n_continue = int(np.sum(np.asarray(out_d["exit_idx"]) != 0))
+    assert forced[0] == max(0, n_continue - child_cap)
+    assert (forced >= 0).all()
+    # Forced exits land on the early-exit head: everyone still assigned.
+    assert (np.asarray(out_t["exit_idx"]) >= 0).all()
+
+
 def test_dyn_k_cpt_price_knob(synth_dataset):
     """Adaptive (dyn_k_cpt) nets: the routed engine's traced k_cpt operand
     changes routing (routers condition on the price) and matches the dense

@@ -233,3 +233,48 @@ def test_eval_split_threads_rng_only_for_dropout_nets():
 
     assert not _has_active_dropout(make(1))
     assert _has_active_dropout(make(0.5))
+
+
+def _np_max_pool_same(x, window, stride):
+    """Float64 NumPy SAME max-pool — the tf.nn.max_pool semantics the
+    reference invokes (pad_total = max((out-1)*stride + window - in, 0),
+    split low/high with the extra on the high side)."""
+    b, h, w, c = x.shape
+    oh, ow = -(-h // stride), -(-w // stride)
+    ph = max((oh - 1) * stride + window - h, 0)
+    pw = max((ow - 1) * stride + window - w, 0)
+    xp = np.full((b, h + ph, w + pw, c), -np.inf)
+    xp[:, ph // 2:ph // 2 + h, pw // 2:pw // 2 + w] = x
+    out = np.empty((b, oh, ow, c))
+    for i in range(oh):
+        for j in range(ow):
+            out[:, i, j] = xp[
+                :, i * stride:i * stride + window,
+                j * stride:j * stride + window].max(axis=(1, 2))
+    return out
+
+
+def test_maxpool_tf1_bug_compat():
+    """MaxPool's two modes, pinned against a NumPy tf.nn.max_pool oracle
+    with asymmetric supp != stride (VERDICT r3 next #7): default mode is
+    the documented intent (window=supp, stride=stride); maxpool_tf1
+    reproduces the reference's transposed call, where what runs is
+    window=stride, stride=supp (layer_types.py:86-94 passes its strides
+    tuple as ksize and k_shape as strides)."""
+    from mpnn_tpu.ops import MaxPool, config
+    x = np.random.RandomState(3).rand(2, 9, 9, 3).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    (out, _, _), _ = _init_apply(MaxPool(supp=3, stride=2), xj)
+    np.testing.assert_allclose(np.asarray(out),
+                               _np_max_pool_same(x, 3, 2), atol=1e-6)
+
+    config.set_maxpool_tf1(True)
+    try:
+        l = MaxPool(supp=3, stride=2)
+        (out_tf1, _, _), _ = _init_apply(l, xj)
+        assert l.out_shape == (3, 3, 3)  # ceil(9/3): strides by supp
+        np.testing.assert_allclose(np.asarray(out_tf1),
+                                   _np_max_pool_same(x, 2, 3), atol=1e-6)
+    finally:
+        config.set_maxpool_tf1(False)

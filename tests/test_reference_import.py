@@ -127,3 +127,111 @@ def test_nfkc_collision_raises():
         nfkc_hypers({LUNATE_EPS: 1e-3, "ε": 1e-6})
     # Normal dicts pass through.
     assert nfkc_hypers({"k_l2": 1.0}) == {"k_l2": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Generated byte-faithful TF1 checkpoints (VERDICT r3 next #6): the records
+# below come from tests/tf1_ckpt_gen.py, which re-executes the reference's
+# construction + serialization contract from scratch (arch constants, hyper
+# default tables, param names/layouts/inits, link-time MultiscaleBatchNorm
+# comps, nested-dict key order) -- no hand-built dicts, no reuse of this
+# repo's serdes.
+# ---------------------------------------------------------------------------
+
+from . import tf1_ckpt_gen as gen
+
+
+def _walk_records(rec):
+    yield rec
+    for child in rec["sinks"] + rec["comps"] + [rec["router"]]:
+        if child is not None:
+            yield from _walk_records(child)
+
+
+def test_generated_record_schema_is_reference_exact(tmp_path):
+    path = gen.write_reference_checkpoint(
+        str(tmp_path / "tf1-gen.npy"), net_type="ActorNet", seed=7,
+        k_cpt=1e-9)
+    rec = np.load(path, allow_pickle=True)[()]
+    # Net record: serdes.py:40-44 key order; net params always empty.
+    assert list(rec.keys()) == ["type", "root", "hypers", "params"]
+    assert rec["params"] == {} and "extra" not in rec
+    # ActorNet hypers: class defaults in definition order, then the
+    # construction options (net_types.py:46-49 merge semantics). The
+    # epsilon key is U+03B5 -- Python NFKC-normalizes the reference's
+    # U+03F5 identifiers at parse time.
+    assert list(rec["hypers"].keys()) == [
+        "k_cpt", "k_dec", "ε", "τ", "λ_lrn", "μ_lrn", "dyn_k_cpt",
+        "α_cpt", "talr", "α_rtr", "x0_shape", "y_shape"]
+    assert rec["hypers"]["k_cpt"] == 1e-9
+    for node in _walk_records(rec["root"]):
+        # Layer record: serdes.py:13-19 key order.
+        assert list(node.keys()) == [
+            "type", "name", "hypers", "params", "sinks", "comps",
+            "router"]
+        assert list(node["hypers"].keys()) == list(
+            gen.LAYER_DEFAULTS[node["type"]].keys())
+        for v in node["params"].values():
+            assert v.dtype == np.float32
+        if node["type"] == "BatchNorm":
+            assert list(node["params"].keys()) == ["γ", "β", "m_avg",
+                                                   "v_avg"]
+        if node["type"] == "MultiscaleBatchNorm":
+            # link-time comps: one BatchNorm per scale
+            assert node["comps"] and all(
+                c["type"] == "BatchNorm" for c in node["comps"])
+        if node["type"] == "MultiscaleConvMax":
+            k = len(node["hypers"]["n_chan"])
+            assert list(node["params"].keys()) == (
+                ["w_horz_%i" % i for i in range(k)]
+                + ["w_vert_%i" % i for i in range(k - 1)]
+                + ["b_%i" % i for i in range(k)])
+            # TF HWIO conv kernel layout.
+            w = node["params"]["w_vert_0"] if k > 1 else None
+            if w is not None:
+                assert w.shape[:2] == (3, 3)
+    # The top-level chain names match the reference constructors. The
+    # pyramid node has a single sink (dr_chain), so no router; every
+    # ReConvMax switch carries the 2-sink 'Router' chain.
+    assert rec["root"]["name"] == "ToPyramid"
+    assert rec["root"]["router"] is None
+    assert rec["root"]["sinks"][0]["name"] == "ReConvMax"
+    assert rec["root"]["sinks"][0]["router"]["name"] == "Router"
+
+
+def test_generated_record_imports_and_matches_oracle(tmp_path):
+    """The full registry 8-deep AC chain, generated as the reference
+    would write it, imports through read_net and passes check-parity
+    against the float64 oracle under the TF1 pyramid grid."""
+    from mpnn_tpu.paritycheck import check_parity
+
+    path = gen.write_reference_checkpoint(
+        str(tmp_path / "tf1-gen-full.npy"), net_type="ActorNet", seed=11,
+        k_cpt=1e-9)
+    net, params, state, extra = serdes.read_net(path)
+    assert extra is None
+    assert type(net).__name__ == "ActorNet"
+    # Architecture equals the repo's own registry constructor's.
+    from mpnn_tpu.experiments import ac_chain
+    ours = ac_chain(k_cpt=1e-9)((32, 32, 3), (10,))
+    assert [type(l).__name__ for l in net.layers] == \
+        [type(l).__name__ for l in ours.layers]
+
+    rng = np.random.RandomState(1)
+    x0 = rng.rand(4, 32, 32, 3).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[rng.randint(0, 10, 4)]
+    config.set_pyramid_tf1(True)
+    try:
+        report = check_parity(net, params, state, x0, y, train=False)
+    finally:
+        config.set_pyramid_tf1(False)
+    assert report["ok"], report
+
+
+def test_generated_sr_record_imports(tmp_path):
+    path = gen.write_reference_checkpoint(
+        str(tmp_path / "tf1-gen-sr.npy"), net_type="SRNet", seed=3,
+        sr_n_tf=2)
+    net, params, state, _ = serdes.read_net(path)
+    assert type(net).__name__ == "SRNet"
+    assert list(net.hypers.x0_shape) == [32, 32, 3]
