@@ -76,8 +76,29 @@ def main():
         out = jax.vmap(jax.vmap(router))(params, x)    # over (node, net)
         return jnp.sum(jnp.square(out))
 
+    # Shape-grouped formulation (VERDICT r3 next #4 -- the variant the
+    # padded refutation left open): stack ONLY same-F routers, no padding.
+    # Work is identical to `separate`; the only possible win is the
+    # dispatch/launch slice (7 -> 4 op groups). sum(F_i) stays 6656.
+    grp_params, grp_xs = [], []
+    for F in sorted(set(Fs)):
+        idx = [i for i, Fi in enumerate(Fs) if Fi == F]
+        grp_params.append(dict(
+            w0=jnp.stack([sep_params[i]["w0"] for i in idx]),
+            w1=jnp.stack([sep_params[i]["w1"] for i in idx]),
+            w2=jnp.stack([sep_params[i]["w2"] for i in idx])))
+        grp_xs.append(jnp.stack([sep_xs[i] for i in idx]))  # (g, N, B, F)
+
+    def grp_loss(params, xs):
+        tot = 0.0
+        for p, x in zip(params, xs):
+            out = jax.vmap(jax.vmap(router))(p, x)     # over (group, net)
+            tot = tot + jnp.sum(jnp.square(out))
+        return tot
+
     sep_g = jax.jit(jax.grad(sep_loss))
     bat_g = jax.jit(jax.grad(bat_loss))
+    grp_g = jax.jit(jax.grad(grp_loss))
 
     def bench(tag, f, *args):
         g = f(*args)
@@ -96,7 +117,12 @@ def main():
                    sep_params, sep_xs)
     us_bat = bench("batched padded stack (fwd+bwd, vmap8)", bat_g,
                    bat_params, bat_x)
-    print(json.dumps({"speedup": round(us_sep / us_bat, 2)}))
+    us_grp = bench("shape-grouped pad-free stacks (fwd+bwd, vmap8)", grp_g,
+                   grp_params, grp_xs)
+    print(json.dumps({"padded_speedup_vs_separate":
+                      round(us_sep / us_bat, 2),
+                      "grouped_speedup_vs_separate":
+                      round(us_sep / us_grp, 2)}))
 
 
 if __name__ == "__main__":
