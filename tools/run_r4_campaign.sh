@@ -34,9 +34,12 @@ WS="--n-iter 80000 --precision bf16 --analytic-l2"
 run retry-complete python tools/retrain_diverged.py cifar10-sr-fat cifar5-sr mnist-sr
 run ckpt-archive-1 python tools/archive_results.py --include-checkpoints
 
-run cifar10-ac-fat-80k    ./scripts/train-nets cifar10-ac-fat --resume --vmap-sweep $WS
-run cifar10-sr-fatter-80k ./scripts/train-nets cifar10-sr-fatter --resume $WS
-run cifar10-ac-fatter-80k ./scripts/train-nets cifar10-ac-fatter --resume --vmap-sweep $WS
+# timeout = hang insurance (observed 2026-08-20: a transient tunnel
+# outage left an eval RPC hung for 49 min with the chip healthy; the
+# runs are resumable, so a bounded kill + relaunch loses nothing).
+run cifar10-ac-fat-80k    timeout 7200 ./scripts/train-nets cifar10-ac-fat --resume --vmap-sweep $WS
+run cifar10-sr-fatter-80k timeout 7200 ./scripts/train-nets cifar10-sr-fatter --resume $WS
+run cifar10-ac-fatter-80k timeout 7200 ./scripts/train-nets cifar10-ac-fatter --resume --vmap-sweep $WS
 
 run retry-width python tools/retrain_diverged.py cifar10-ac-fat cifar10-sr-fatter cifar10-ac-fatter
 
