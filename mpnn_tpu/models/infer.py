@@ -60,6 +60,46 @@ def _gather_act(act, idx):
     return act[idx]
 
 
+def calibrate_capacities(net, params, state, x0, *, margin=1.5,
+                         k_cpt=None, floor=1.0 / 64.0):
+    """Per-switch capacity fractions fitted to the TRAINED routing
+    distribution — the MoE capacity-factor calibration step.
+
+    At capacities=1.0 every internal buffer stays batch-wide, so routed
+    inference executes near-DENSE compute even when realized per-example
+    ops drop 80% (the savings are an accounting truth, not a wall-clock
+    one). The wall-clock win comes from shrinking the static buffers to
+    what the routers actually use: this helper runs exact hard routing
+    (capacity 1.0) on a calibration batch, measures each switch's
+    worst-internal-child arrival rate w.r.t. the ORIGINAL batch, and
+    returns per-switch fractions `min(1, max(floor, margin * rate))` in
+    the preorder switch order `make_routed_infer_fn` expects. `margin`
+    absorbs batch-to-batch routing variance (overflow examples are
+    force-exited, degrading accuracy gracefully, never dropped);
+    `floor` keeps rarely-taken subtrees servable.
+
+    Realizes the eval-routing semantics of reference
+    scripts/lib/net_types.py:127-129 as a deployable buffer schedule."""
+    B = len(x0)
+    infer = make_routed_infer_fn(net, B, capacities=1.0)
+    exit_idx = np.asarray(infer(params, state, x0, k_cpt)["exit_idx"])
+    leaves = [l for l in net.layers if len(l.sinks) == 0]
+    switches = [l for l in net.layers if len(l.sinks) > 1]
+    from .net import _subtree_nodes
+    fracs = []
+    for sw in switches:
+        worst = 0
+        for sink in sw.sinks:
+            if len(sink.sinks) == 0:
+                continue
+            sub_leaf_ids = {i for i, l in enumerate(leaves)
+                            if any(n is l for n in _subtree_nodes(sink))}
+            worst = max(worst, int(np.isin(exit_idx,
+                                           list(sub_leaf_ids)).sum()))
+        fracs.append(float(min(1.0, max(floor, margin * worst / B))))
+    return fracs
+
+
 def make_routed_infer_fn(net, batch_size, capacities=1.0):
     """Build a jitted routed-inference function for any tree net.
 

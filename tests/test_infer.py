@@ -209,3 +209,31 @@ def test_dyn_k_cpt_price_knob(synth_dataset):
     # The price is actually wired into routing: extreme prices route
     # differently (random-init routers see a dominating price column).
     assert (outs[0.0] != outs[1e-5]).any()
+
+
+def test_calibrate_capacities(chain_net, synth_dataset):
+    """calibrate_capacities fits per-switch fractions to the routed
+    arrival rates: switch 0's fraction is min(1, margin * continue_rate)
+    (at the first switch the arrival count equals the dense continue
+    count), fractions are one per switch in preorder, and an infer fn
+    built from them force-exits nothing on the calibration batch itself
+    when margin >= 1."""
+    from mpnn_tpu.models.infer import calibrate_capacities
+    net, params, state = chain_net
+    B = 64
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    out_d = make_routed_infer_fn(net, B, capacities=1.0)(params, state, x0)
+    n_cont = int(np.sum(np.asarray(out_d["exit_idx"]) != 0))
+
+    fracs = calibrate_capacities(net, params, state, x0, margin=1.0,
+                                 floor=0.0)
+    n_switches = sum(1 for l in net.layers if len(l.sinks) > 1)
+    assert len(fracs) == n_switches
+    assert fracs[0] == pytest.approx(min(1.0, n_cont / B))
+    # Serving the calibration batch with margin>=1 fractions: zero
+    # forced exits, bit-identical exits to dense hard routing.
+    out_c = make_routed_infer_fn(net, B, capacities=fracs)(params, state,
+                                                           x0)
+    assert int(np.asarray(out_c["forced"]).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(out_c["exit_idx"]),
+                                  np.asarray(out_d["exit_idx"]))
