@@ -61,7 +61,7 @@ def _gather_act(act, idx):
 
 
 def calibrate_capacities(net, params, state, x0, *, margin=1.5,
-                         k_cpt=None, floor=1.0 / 64.0):
+                         k_cpt=None, floor=1.0 / 64.0, grid=32):
     """Per-switch capacity fractions fitted to the TRAINED routing
     distribution — the MoE capacity-factor calibration step.
 
@@ -77,6 +77,16 @@ def calibrate_capacities(net, params, state, x0, *, margin=1.5,
     absorbs batch-to-batch routing variance (overflow examples are
     force-exited, degrading accuracy gracefully, never dropped);
     `floor` keeps rarely-taken subtrees servable.
+
+    Fractions are rounded UP to multiples of 1/`grid` so the static
+    buffer shapes `ceil(f * B)` they induce are stable across checkpoint
+    retrains: raw arrival rates jitter by a few examples per batch, and
+    unquantized fractions would give every retrained checkpoint its own
+    buffer shapes — a guaranteed persistent-compile-cache miss in the
+    timed bench window (remote TPU compiles run 27 s - 14 min). On the
+    1/32 grid the shapes only change when the routing distribution
+    genuinely shifts across a ~3% boundary; rounding up only adds
+    slack, never forced exits.
 
     Realizes the eval-routing semantics of reference
     scripts/lib/net_types.py:127-129 as a deployable buffer schedule."""
@@ -96,7 +106,8 @@ def calibrate_capacities(net, params, state, x0, *, margin=1.5,
                             if any(n is l for n in _subtree_nodes(sink))}
             worst = max(worst, int(np.isin(exit_idx,
                                            list(sub_leaf_ids)).sum()))
-        fracs.append(float(min(1.0, max(floor, margin * worst / B))))
+        raw = max(floor, margin * worst / B)
+        fracs.append(float(min(1.0, np.ceil(raw * grid) / grid)))
     return fracs
 
 

@@ -229,7 +229,14 @@ def test_calibrate_capacities(chain_net, synth_dataset):
                                  floor=0.0)
     n_switches = sum(1 for l in net.layers if len(l.sinks) > 1)
     assert len(fracs) == n_switches
-    assert fracs[0] == pytest.approx(min(1.0, n_cont / B))
+    # Fractions land on the 1/grid shape-stability grid, rounded UP from
+    # the raw arrival rate (never down: rounding down would force exits).
+    assert fracs[0] == pytest.approx(min(1.0, np.ceil(n_cont / B * 32) / 32))
+    for f, f_exact in zip(
+            fracs, calibrate_capacities(net, params, state, x0,
+                                        margin=1.0, floor=0.0,
+                                        grid=10**9)):
+        assert f >= f_exact and (f * 32) == pytest.approx(round(f * 32))
     # Serving the calibration batch with margin>=1 fractions: zero
     # forced exits, bit-identical exits to dense hard routing.
     out_c = make_routed_infer_fn(net, B, capacities=fracs)(params, state,

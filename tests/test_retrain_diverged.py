@@ -52,6 +52,47 @@ def test_diverged_detection_5class(tmp_path):
     assert [i for i, _, _ in rd.diverged_members(str(d))] == [0]
 
 
+def test_low_class_count_uses_additive_threshold(tmp_path):
+    """chance + 5pp, not a multiple of chance: a legitimate 0.70-acc
+    cifar2 member must NOT be condemned (1.5x chance would put the bar
+    at 0.75 there)."""
+    d = tmp_path / "cifar2-x"
+    d.mkdir()
+    np.save(d / "0000-stats.npy", _desc(0.70, n_cls=2))
+    np.save(d / "0001-stats.npy", _desc(0.52, n_cls=2))  # at chance
+    assert [i for i, _, _ in rd.diverged_members(str(d))] == [1]
+
+
+def test_interrupted_retry_hole_is_redetected(expt_dir):
+    """A member preserved by preserve_diverged whose retrain never
+    completed (no canonical stats file) must stay visible to the
+    scanner — and members after the hole must still be scanned."""
+    rd.preserve_diverged(str(expt_dir), 0, seed=0)
+    # Simulate member 2 also diverging, with the hole at 0 unfilled.
+    np.save(expt_dir / "0002-stats.npy", _desc(0.102))
+    dead = rd.diverged_members(str(expt_dir))
+    assert [i for i, _, _ in dead] == [0, 2]
+
+
+def test_preserve_diverged_mirrors_results_archive(tmp_path):
+    """The committed results/ copy of a diverged member is renamed in
+    lockstep, so a VM death before the next archive pass cannot
+    resurrect the dead member via --restore."""
+    (tmp_path / "nets" / "cifar10-x").mkdir(parents=True)
+    mirror = tmp_path / "results" / "nets" / "cifar10-x"
+    mirror.mkdir(parents=True)
+    live = tmp_path / "nets" / "cifar10-x"
+    for d in (live, mirror):
+        np.save(d / "0000-stats.npy", _desc(0.104))
+        (d / "0000-log.txt").write_text("trajectory\n")
+        (d / "0000.npy").write_bytes(b"ckpt")
+    rd.preserve_diverged(str(live), 0, seed=0)
+    for d in (live, mirror):
+        assert not (d / "0000-stats.npy").exists()
+        assert (d / "0000-stats-diverged-seed0.npy").exists()
+        assert not (d / "0000.npy").exists()
+
+
 def test_preserve_diverged_renames_and_drops_ckpt(expt_dir):
     rd.preserve_diverged(str(expt_dir), 0, seed=0)
     names = sorted(os.path.basename(p) for p in glob(str(expt_dir / "0000*")))

@@ -39,19 +39,36 @@ def descendants(pid):
     return kids
 
 
-def kill_tree(pid):
+def kill_tree(pid, grace=10.0):
+    """SIGTERM the tree, poll for actual exit up to `grace` seconds,
+    SIGKILL only what is still alive. (os.kill succeeding only means the
+    process existed at signal time — liveness must be re-checked, or a
+    cleanly-exiting trainer gets a pointless SIGKILL aimed at a pid that
+    may already have been recycled.)"""
     tree = [pid] + descendants(pid)
-    for sig in (signal.SIGTERM, signal.SIGKILL):
-        alive = []
-        for p in tree:
+    alive = []
+    for p in tree:
+        try:
+            os.kill(p, signal.SIGTERM)
+            alive.append(p)
+        except ProcessLookupError:
+            pass
+    deadline = time.monotonic() + grace
+    while alive and time.monotonic() < deadline:
+        time.sleep(0.2)
+        still = []
+        for p in alive:
             try:
-                os.kill(p, sig)
-                alive.append(p)
+                os.kill(p, 0)
+                still.append(p)
             except ProcessLookupError:
                 pass
-        if not alive:
-            break
-        time.sleep(2.0)
+        alive = still
+    for p in alive:
+        try:
+            os.kill(p, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
     return tree
 
 

@@ -8,8 +8,14 @@ seed+100 — docs/results-r3.md). The reference's figures contain no dead
 nets, so published panels should not either. Policy implemented here:
 
   1. Scan each experiment's final per-net stats (`NNNN-stats.npy`) for
-     members whose test accuracy is below 1.5x chance (random = 1/n_cls,
-     read from the descriptor's own p_cor_by_cls width).
+     members whose test accuracy is below chance + 5pp (random = 1/n_cls,
+     read from the descriptor's own p_cor_by_cls width; an additive
+     threshold stays meaningful at low class counts, where a multiple of
+     chance would flag legitimately-imperfect members — 1.5x chance on
+     cifar2 would condemn anything under 75%). Members whose stats were
+     preserved by a previous, interrupted retry (a `NNNN-stats-diverged-*`
+     file with no canonical `NNNN-stats.npy`) count as dead too, so an
+     aborted retrain never leaves a permanently hidden member hole.
   2. Preserve the diverged evidence: stats -> `NNNN-stats-diverged-seed<s>
      .npy`, log -> `NNNN-log-diverged-seed<s>.txt` (both land in the
      committed results/ archive; figure CLIs glob only `NNNN-stats.npy`,
@@ -50,36 +56,71 @@ def n_classes(desc):
 
 def diverged_members(expt_dir):
     """[(index, acc_ts, n_cls)] of members whose final test accuracy is
-    below 1.5x chance."""
+    below chance + 5pp, plus members left as holes by an interrupted
+    retry (preserved `-diverged-` stats but no canonical stats file —
+    reported with acc/n_cls of the preserved trajectory)."""
+    import glob as _glob
+    import re
     out = []
-    i = 0
-    while True:
+    indices = set()
+    for path in _glob.glob(os.path.join(expt_dir, "[0-9]*-stats.npy")):
+        m = re.match(r"(\d{4})-stats\.npy$", os.path.basename(path))
+        if m:
+            indices.add(int(m.group(1)))
+    for path in _glob.glob(os.path.join(expt_dir,
+                                        "[0-9]*-stats-diverged-*.npy")):
+        m = re.match(r"(\d{4})-stats-diverged-", os.path.basename(path))
+        if m:
+            indices.add(int(m.group(1)))
+    for i in sorted(indices):
         path = os.path.join(expt_dir, "%.4i-stats.npy" % i)
         if not os.path.exists(path):
-            break
+            # Hole from an interrupted retry: report via the newest
+            # preserved trajectory so the retry loop picks it back up.
+            preserved = sorted(_glob.glob(os.path.join(
+                expt_dir, "%.4i-stats-diverged-*.npy" % i)))
+            if not preserved:
+                continue
+            path = preserved[-1]
         desc = np.load(path, allow_pickle=True).item()
         acc = float(desc["stats_ts"]["acc"])
         n_cls = n_classes(desc)
-        if n_cls and acc < 1.5 / n_cls:
+        if n_cls and (acc < 1.0 / n_cls + 0.05
+                      or not os.path.exists(
+                          os.path.join(expt_dir, "%.4i-stats.npy" % i))):
             out.append((i, acc, n_cls))
-        i += 1
     return out
 
 
 def preserve_diverged(expt_dir, i, seed):
     """Rename the dead member's stats/log out of the glob the figure
     CLIs read, keeping them on record; drop its checkpoint (a chance-
-    level net is not worth 5-90 MB of archive)."""
+    level net is not worth 5-90 MB of archive).
+
+    The same moves are applied to the committed results/ mirror of this
+    experiment (when expt_dir lives under an out-root with a sibling
+    results/nets/ archive): otherwise a VM death between this call and
+    the next `archive_results.py --include-checkpoints` pass leaves the
+    diverged stats/checkpoint under canonical names in results/, and the
+    next VM's --restore silently republishes the chance-level member
+    into figure panels and bench's checkpoint pick."""
     moves = [("%.4i-stats.npy" % i, "%.4i-stats-diverged-seed%i.npy" % (i, seed)),
              ("%.4i-log.txt" % i, "%.4i-log-diverged-seed%i.txt" % (i, seed)),
              ("%.4i-stats" % i, "%.4i-stats-diverged-seed%i" % (i, seed))]
-    for src, dst in moves:
-        s, d = os.path.join(expt_dir, src), os.path.join(expt_dir, dst)
-        if os.path.exists(s) and not os.path.exists(d):
-            os.rename(s, d)
-    ckpt = os.path.join(expt_dir, "%.4i.npy" % i)
-    if os.path.exists(ckpt):
-        os.remove(ckpt)
+    out_root = os.path.dirname(os.path.abspath(expt_dir))
+    mirror = os.path.join(os.path.dirname(out_root), "results",
+                          os.path.basename(out_root),
+                          os.path.basename(expt_dir))
+    for base in (expt_dir, mirror):
+        if not os.path.isdir(base):
+            continue
+        for src, dst in moves:
+            s, d = os.path.join(base, src), os.path.join(base, dst)
+            if os.path.exists(s) and not os.path.exists(d):
+                os.rename(s, d)
+        ckpt = os.path.join(base, "%.4i.npy" % i)
+        if os.path.exists(ckpt):
+            os.remove(ckpt)
 
 
 def retrain(expt_name, indices, seed, out_root, n_iter=None,

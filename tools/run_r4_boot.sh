@@ -24,6 +24,11 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs
+# Self-register for tools/idle_chip.py (which only stops pids recorded
+# in /tmp/*.pid): a `nohup bash tools/run_r4_boot.sh &` launch that
+# forgets `echo $! > /tmp/...pid` would otherwise be unstoppable before
+# the driver's BENCH window.
+echo $$ > /tmp/r4boot.pid
 run() {
     name="$1"; shift
     echo "=== $(date -u +%H:%M:%S) start $name" | tee -a nets/campaign-logs/boot-r4.log

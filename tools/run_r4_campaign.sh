@@ -16,6 +16,8 @@
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs
+# Self-register for tools/idle_chip.py (see run_r4_boot.sh note).
+echo $$ > /tmp/r4campaign.pid
 
 run() {
     name="$1"; shift
