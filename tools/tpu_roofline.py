@@ -1,21 +1,37 @@
 #!/usr/bin/env python3
-"""HBM roofline account for the sweep train steps (VERDICT r3 weak #3).
+"""HBM/MXU roofline account for the sweep train steps (VERDICT r3 weak #3).
+
+Methodology (two gotchas make the naive version wrong, both verified):
+
+1. XLA's HLO cost analysis counts a while-loop BODY ONCE — trip count is
+   not folded in (verified: `flops` identical for lax.scan lengths 1, 2
+   and 10 of the same body). So the scanned train loop's cost analysis
+   already IS per-step (+ small prologue); dividing by the chunk length
+   undercounts ~chunk-fold.
+2. `bytes accessed` sums every fusion's full operand + output buffer
+   bytes. For the SCANNED loop the body gathers each step's batch out of
+   dataset-sized loop-invariant operands (20k images), and the analysis
+   charges the full operand per gather — inflating "traffic" by GBs that
+   never cross HBM. Cost-analyzing a SINGLE presampled step (batch
+   arrays passed directly, no dataset operands in the program) removes
+   that artifact; what remains is the inter-fusion buffer traffic, which
+   on TPU does physically round-trip HBM (no cache between kernels).
+   It still over-counts where one buffer feeds several consumer fusions,
+   so treat it as an upper bound within ~2x.
 
 For each configuration (chain sweep, tree sweep, optionally stacked
-tails), AOT-compiles the actual scanned train loop, reads XLA's
-post-fusion cost analysis (`bytes accessed` = every fusion's operand +
-output buffer bytes — the HBM traffic estimate under no inter-fusion
-reuse; `flops`), times the same compiled executable, and reports
+tails) this reports, from the single-step program's cost analysis and
+the REAL scanned loop's measured time:
 
-    implied_gbps = bytes_per_step / time_per_step
-    hbm_util     = implied_gbps / peak   (v5e-1 HBM ~ 819 GB/s)
-    mxu_util     = flops_per_step / time_per_step / peak_flops
+    implied_gbps = bytes_per_step / measured_s_per_step
+    hbm_util     = implied_gbps / peak    (v5e-1 HBM ~ 819 GB/s)
+    mxu_util     = flops_per_step / time / peak_flops (197 bf16 TFLOP/s)
 
-A config running at >~70% of the HBM peak with low MXU utilization is
-bandwidth-floor-bound: no reformulation that keeps the same traffic can
-speed it up. The chain sweep (known floor-bound at ~3.2 ms,
-docs/perf.md) doubles as the methodology calibration for the tree
-number.
+A config with hbm_util near 1 is bandwidth-floor-bound: no
+reformulation that keeps the same traffic can speed it up. One with low
+hbm_util AND low mxu_util is bound by neither continuous resource —
+i.e. by kernel-granularity overheads (many small ops), the known
+single-net regime (docs/perf.md).
 
 Usage: python tools/tpu_roofline.py [--configs chain,tree,tree-stacked]
                                     [--chunk 50] [--n-chunks 3]
@@ -61,7 +77,8 @@ def main():
 
     from mpnn_tpu.experiments import ac_chain, ac_tree, λ_lrn, τ_ds
     from mpnn_tpu.models import Schedules, init_training
-    from mpnn_tpu.models.steps import make_sweep_train_loop, stack_trees
+    from mpnn_tpu.models.steps import (_train_step_body, make_sweep_train_loop,
+                                       stack_trees)
     from mpnn_tpu.data import Dataset, synth
 
     B, N, chunk = args.batch_size, args.n_nets, args.chunk
@@ -71,25 +88,39 @@ def main():
     x0_tr, y_tr, m_sym = ds.train_arrays
     rng = jax.random.PRNGKey(0)
 
+    def cost(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (float(ca.get("bytes accessed", float("nan"))),
+                float(ca.get("flops", float("nan"))))
+
     def account(tag, net):
         members = [init_training(net, seed=i) for i in range(N)]
         p = stack_trees([m[0] for m in members])
         s = stack_trees([m[1] for m in members])
         v = stack_trees([m[2] for m in members])
         k_arr = jnp.zeros((N,), jnp.float32)
+
+        # --- traffic/flops: single presampled step, no dataset operands.
+        step1 = _train_step_body(net, B, sched, presampled=True)
+        vstep = jax.vmap(step1, in_axes=(0, 0, 0, None, None, None, None,
+                                         None, 0))
+        xb = jnp.asarray(x0_tr[:B], config.compute_dtype)
+        yb = jnp.asarray(y_tr[:B])
+        c1 = jax.jit(vstep).lower(p, s, v, 0, rng, xb, yb, m_sym,
+                                  k_arr).compile()
+        bytes_step, flops_step = cost(c1)
+
+        # --- time: the REAL scanned production loop.
         loop = make_sweep_train_loop(net, B, sched)
 
         def one_chunk(p, s, v, rng, x0, y, m, k):
             return loop(p, s, v, 0, rng, x0, y, m, chunk, k)
 
-        lowered = jax.jit(one_chunk).lower(p, s, v, rng, x0_tr, y_tr,
-                                           m_sym, k_arr)
-        compiled = lowered.compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        ba = float(ca.get("bytes accessed", float("nan")))
-        fl = float(ca.get("flops", float("nan")))
+        compiled = jax.jit(one_chunk).lower(p, s, v, rng, x0_tr, y_tr,
+                                            m_sym, k_arr).compile()
+        loop_bytes, loop_flops = cost(compiled)  # body-once, see header
 
         out = compiled(p, s, v, rng, x0_tr, y_tr, m_sym, k_arr)
         np.asarray(out[-1])  # settle
@@ -100,15 +131,15 @@ def main():
         dt = time.perf_counter() - t0
         s_per_step = dt / (args.n_chunks * chunk)
 
-        bytes_step = ba / chunk
-        flops_step = fl / chunk
         implied_gbps = bytes_step / s_per_step / 1e9
         rec = {
             "config": tag,
             "ms_per_step": round(s_per_step * 1e3, 3),
             "img_per_s": round(N * B / s_per_step),
-            "bytes_accessed_per_step_mb": round(bytes_step / 1e6, 1),
-            "flops_per_step_g": round(flops_step / 1e9, 2),
+            "step_bytes_mb": round(bytes_step / 1e6, 1),
+            "step_flops_g": round(flops_step / 1e9, 2),
+            "loop_body_bytes_mb": round(loop_bytes / 1e6, 1),
+            "loop_body_flops_g": round(loop_flops / 1e9, 2),
             "implied_gbps": round(implied_gbps, 1),
             "hbm_util": round(implied_gbps / args.hbm_gbps, 3),
             "mxu_util": round(
