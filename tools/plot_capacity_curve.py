@@ -35,7 +35,8 @@ BLUE = "#2a6ccc"   # single-hue marks; identity is carried by labels
 
 
 def load_sweep(path):
-    """The routed_inference dict from a bench JSON file or log."""
+    """The routed_inference dict from a bench JSON file or log, or None
+    if the artifact predates the capacity_sweep field."""
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -48,7 +49,7 @@ def load_sweep(path):
             ri = rec.get("routed_inference")
             if ri and ri.get("capacity_sweep"):
                 return ri
-    raise SystemExit(f"no routed_inference.capacity_sweep found in {path}")
+    return None
 
 
 def main():
@@ -57,14 +58,25 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "figures",
                                                   "capacity-curve.svg"))
     args = ap.parse_args()
-    paths = args.bench or sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json"))) or sorted(
-        glob.glob(os.path.join(REPO, "nets", "campaign-logs",
-                               "bench*.log")),
-        key=os.path.getmtime)
+    paths = args.bench or (
+        sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        + sorted(glob.glob(os.path.join(REPO, "nets", "campaign-logs",
+                                        "bench*.log")),
+                 key=os.path.getmtime))
     if not paths:
         raise SystemExit("no bench artifact found; pass one explicitly")
-    ri = load_sweep(paths[-1])
+    # Newest artifact that actually carries the field (older BENCH files
+    # predate capacity_sweep).
+    ri = src = None
+    for p in reversed(paths):
+        ri = load_sweep(p)
+        if ri:
+            src = p
+            break
+    if ri is None:
+        raise SystemExit("no routed_inference.capacity_sweep in any of: "
+                         + ", ".join(paths))
+    paths = [src]
 
     scalar = [e for e in ri["capacity_sweep"]
               if not isinstance(e["capacity"], list)]
