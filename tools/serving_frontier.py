@@ -149,19 +149,34 @@ def render(records, summary, out):
     for s in ("top", "right"):
         ax.spines[s].set_visible(False)
     ax.plot(ops, err, "-o", color=BLUE, lw=2, ms=6, zorder=3)
-    for r, o, e in zip(records, ops, err):
-        price = ("0" if r["k_cpt"] == 0 else f"{r['k_cpt']:.1e}")
-        ax.annotate(f"k_cpt={price}\n{r['images_per_sec']/1e3:.0f}k img/s",
-                    (o, e), xytext=(6, 6), textcoords="offset points",
+    ax.margins(y=0.18)
+    # Selective labels (not a number on every point): skip a point whose
+    # x sits within 4% of the previously labeled one — the near-dense
+    # price cluster reads from the line; the subtitle carries the
+    # throughput range.
+    last_x = None
+    for i, (r, o, e) in enumerate(zip(records, ops, err)):
+        if last_x is not None and abs(o - last_x) < 0.04 * max(ops) \
+                and i != len(records) - 1:
+            continue
+        last_x = o
+        lab = (f"k_cpt={r['k_cpt']:g}"
+               f"\n{r['images_per_sec']/1e3:.0f}k img/s")
+        at_right = o > 0.9 * max(ops)
+        ax.annotate(lab, (o, e),
+                    xytext=(-6 if at_right else 6, 10),
+                    textcoords="offset points",
+                    ha="right" if at_right else "left",
                     fontsize=7.5, color=INK)
     ax.set_xscale("log")
     ax.set_xlabel("realized ops / example (measured, routed)",
                   fontsize=10, color=INK)
     ax.set_ylabel("test error", fontsize=10, color=INK)
+    ips = [r["images_per_sec"] for r in records]
     ax.set_title("One deployed adaptive net, every operating point\n"
-                 f"({summary['checkpoint']}, b{summary['batch_size']}, "
-                 f"{summary['n_programs']} compiled program(s) for "
-                 f"{summary['n_prices']} prices)",
+                 f"(b{summary['batch_size']}, {summary['n_programs']} "
+                 f"programs / {summary['n_prices']} prices, "
+                 f"{min(ips)/1e3:.0f}–{max(ips)/1e3:.0f}k img/s)",
                  fontsize=10, color=INK)
     ax.tick_params(colors=INK, labelsize=9)
     fig.tight_layout()
