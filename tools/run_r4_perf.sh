@@ -24,10 +24,21 @@ run() {
     fi
 }
 
-# Wait (max 4 h) for the width campaign to finish before touching the chip.
+# Self-register for tools/idle_chip.py (see run_r4_boot.sh note).
+echo $$ > /tmp/r4perf.pid
+
+# Wait (max 4 h) for the width campaign to release the chip. Gate on the
+# campaign PROCESS (pidfile liveness), not a log marker: campaign.log is
+# archived into results/ and restored on fresh VMs, so its done-marker
+# from a PRIOR run is permanently present and a marker grep would open
+# the gate instantly, running this chip-heavy chain concurrently with
+# the training it must wait for.
 for i in $(seq 1 480); do
-    grep -q "r4 width+retry campaign done" nets/campaign-logs/campaign.log && break
-    sleep 30
+    if [ -f /tmp/r4campaign.pid ] && kill -0 "$(cat /tmp/r4campaign.pid)" 2>/dev/null; then
+        sleep 30
+    else
+        break
+    fi
 done
 
 run bench-r4        timeout 7200 python bench.py
