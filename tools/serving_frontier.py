@@ -57,6 +57,13 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "figures",
                                                   "serving-frontier.svg"))
     ap.add_argument("--no-figure", action="store_true")
+    ap.add_argument("--measure-passes", type=int, default=2,
+                    help="timing passes over the price list; img/s is the "
+                         "max across passes (pass 1 right after each "
+                         "compile is depressed for the FIRST program of a "
+                         "process by the tunnel's cold-process transfer "
+                         "penalty, and single measurements carry ~2x "
+                         "run-to-run variance — see docs/results-r4.md)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +88,20 @@ def main():
         ds.x0_tr[:B] if len(ds.x0_tr) >= B
         else np.tile(ds.x0_tr, (-(-B // len(ds.x0_tr)), 1, 1, 1))[:B])
 
+    def time_program(infer, price):
+        """One timed window: n_batches steps, host-sync via a chained
+        value (axon block_until_ready gotcha). Returns (img/s, result)."""
+        r = infer(params, state, x0, price)
+        np.asarray(r["ops"])  # sync after compile / warm the dispatch path
+        t0 = time.perf_counter()
+        acc_chain = 0.0
+        for _ in range(args.n_batches):
+            r = infer(params, state, x0, price)
+            acc_chain = acc_chain + jnp.sum(r["ops"])
+        np.asarray(acc_chain)  # sync bounds all device work
+        dt = time.perf_counter() - t0
+        return round(args.n_batches * B / dt, 1), r
+
     programs = {}  # schedule tuple -> compiled infer fn (shared shapes)
     records = []
     for price in k_cpts:
@@ -90,28 +111,38 @@ def main():
         if key not in programs:
             programs[key] = make_routed_infer_fn(net, B, capacities=fracs)
         infer = programs[key]
-        r = infer(params, state, x0, price)
-        np.asarray(r["ops"])  # sync after compile
-        t0 = time.perf_counter()
-        acc_chain = 0.0
-        for _ in range(args.n_batches):
-            r = infer(params, state, x0, price)
-            acc_chain = acc_chain + jnp.sum(r["ops"])
-        np.asarray(acc_chain)  # sync bounds all device work
-        dt = time.perf_counter() - t0
+        ips, r = time_program(infer, price)
         ops = np.asarray(r["ops"])
         forced = np.asarray(r["forced"])
         pred = np.argmax(np.asarray(r["probs"]), axis=1)
         rec = {
             "k_cpt": price,
             "capacities": [round(f, 4) for f in fracs],
-            "images_per_sec": round(args.n_batches * B / dt, 1),
+            "images_per_sec": ips,
+            "images_per_sec_passes": [ips],
             "mean_ops_per_example": float(ops.mean()),
             "accuracy": round(float(np.mean(pred == y_cls)), 4),
             "forced_exits": int(forced.sum()),
+            "_program": key,
         }
         records.append(rec)
-        print(json.dumps(rec), flush=True)
+        print(json.dumps({k: v for k, v in rec.items()
+                          if not k.startswith("_")}), flush=True)
+
+    # Extra timing passes with every program compiled and the process
+    # warm: the first program measured in a fresh process is depressed
+    # 5-10x by the tunnel's early-process transfer penalty, and single
+    # windows carry ~2x run-to-run variance. Deterministic columns
+    # (accuracy/ops/forced) are unaffected; img/s becomes the max.
+    for _ in range(max(0, args.measure_passes - 1)):
+        for rec in records:
+            ips, _ = time_program(programs[rec["_program"]], rec["k_cpt"])
+            rec["images_per_sec_passes"].append(ips)
+            rec["images_per_sec"] = max(rec["images_per_sec_passes"])
+    for rec in records:
+        del rec["_program"]
+        if args.measure_passes > 1:
+            print(json.dumps(rec), flush=True)
 
     summary = {
         "checkpoint": (os.path.relpath(args.checkpoint, REPO)
