@@ -53,7 +53,9 @@ def main():
     ap.add_argument("--margin", type=float, default=1.5)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--json", default=None,
-                    help="also append the records to this file")
+                    help="also write the records to this file (truncated "
+                         "per run — these are committed evidence files; "
+                         "appending re-runs would silently double them)")
     ap.add_argument("--out", default=os.path.join(REPO, "figures",
                                                   "serving-frontier.svg"))
     ap.add_argument("--no-figure", action="store_true")
@@ -157,7 +159,7 @@ def main():
     }
     print(json.dumps({"serving_frontier_summary": summary}), flush=True)
     if args.json:
-        with open(args.json, "a") as f:
+        with open(args.json, "w") as f:
             for rec in records + [{"serving_frontier_summary": summary}]:
                 f.write(json.dumps(rec) + "\n")
 
