@@ -264,4 +264,19 @@ def make_adaptive_experiments():
         "synth-ac-tree-dynkcpt": Ns(
             dataset="data/synth.npz", net=ac_tree(dyn_k_cpt=True),
             tau=AC_TAU),
+        "synth-cr-dynkcpt": Ns(
+            dataset="data/synth.npz", net=cr_chain(dyn_k_cpt=True),
+            tau=CR_TAU),
+        # CR price-insensitivity probes (VERDICT r4 next #5): the trained
+        # adaptive critics are frontier-FLAT while their actor twins span
+        # it. Variants isolate the two candidate mechanisms: the price
+        # input feature is too small at the deployment price range
+        # (α_cpt * max(k_cpts) = 0.64 vs ~1-scale activations), and the
+        # cold τ_cr schedule never explores price-conditional routing.
+        "synth-cr-dynkcpt-acpt1e9": Ns(
+            dataset="data/synth.npz",
+            net=cr_chain(dyn_k_cpt=True, α_cpt=1e9), tau=CR_TAU),
+        "synth-cr-dynkcpt-tauhot": Ns(
+            dataset="data/synth.npz", net=cr_chain(dyn_k_cpt=True),
+            tau=AC_TAU),
     }
