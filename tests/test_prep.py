@@ -215,3 +215,77 @@ def test_synthetic_provenance_tagged(tmp_path):
     for name in names:
         ds = Dataset(str(tmp_path / name), device_put=False)
         assert ds.provenance is not None and ds.provenance["synthetic"]
+
+
+def test_recolor_golden_sequence():
+    """The hybrid recolor RNG consumes the seeded stream EXACTLY as the
+    reference (prep-data:144-152): per image, c0 = rand(3), then c1 =
+    rand(3) redrawn while ||c1-c0|| < 0.3. Under RandomState(0) the very
+    first c1 draw ([0.5449, 0.4237, 0.6459], d=0.2947) is rejected, so
+    image 0's gradient endpoints are the 1st and 3rd draws, and image 1
+    consumes draws 4-5 with no rejection. Pinning these exact values
+    pins both the draw order and the rejection-loop consumption
+    (VERDICT r4 next #7)."""
+    x0 = np.zeros((2, 1, 1, 1), np.float32)   # v=0 -> c0 per image
+    out0 = prep.recolor(x0, np.random.RandomState(0))
+    np.testing.assert_allclose(
+        out0[0, 0, 0], [0.5488135, 0.71518934, 0.60276335], atol=1e-6)
+    np.testing.assert_allclose(
+        out0[1, 0, 0], [0.3834415, 0.79172504, 0.5288949], atol=1e-6)
+    x1 = np.ones((2, 1, 1, 1), np.float32)    # v=1 -> c1 per image
+    out1 = prep.recolor(x1, np.random.RandomState(0))
+    np.testing.assert_allclose(  # 3rd draw: the 2nd was rejected (d<0.3)
+        out1[0, 0, 0], [0.4375872, 0.891773, 0.96366274], atol=1e-6)
+    np.testing.assert_allclose(
+        out1[1, 0, 0], [0.56804454, 0.92559665, 0.07103606], atol=1e-6)
+
+
+def test_download_and_prepare_file_urls(tmp_path):
+    """The DOWNLOAD path itself (download_and_prepare -> urlretrieve ->
+    prepare_from_files) runs end-to-end against file:// URLs of
+    full-schema fixture archives — the one L1 stage that had no
+    integration evidence in this air-gapped environment (VERDICT r4
+    next #7). Asserts the five output archives load through Dataset and
+    the hybrid recolor matches the golden seeded gradient."""
+    import tarfile
+    import scipy.io as io
+
+    mat_path = tmp_path / "mnist.mat"
+    io.savemat(str(mat_path), _fake_mnist_mat())
+    rng = np.random.RandomState(7)
+    batch_dir = tmp_path / "cifar-10-batches-mat"
+    batch_dir.mkdir()
+    for name in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        io.savemat(str(batch_dir / f"{name}.mat"),
+                   {"data": (rng.rand(6, 3072) * 255).astype(np.uint8),
+                    "labels": rng.randint(0, 10, (6, 1))})
+    tgz_path = tmp_path / "cifar10.tar.gz"
+    with tarfile.open(str(tgz_path), "w:gz") as tar:
+        tar.add(str(batch_dir), arcname="cifar-10-batches-mat")
+
+    out = tmp_path / "data"
+    names = prep.download_and_prepare(
+        str(out), mnist_url=mat_path.as_uri(),
+        cifar_url=tgz_path.as_uri())
+    assert names == sorted(["mnist.npz", "cifar-10.npz", "cifar-2.npz",
+                            "cifar-5.npz", "hybrid.npz"])
+    for name in names:
+        ds = Dataset(str(out / name), device_put=False)
+        assert np.allclose(ds.y_tr.sum(1), 1)
+        assert ds.provenance is not None and not ds.provenance["synthetic"]
+    # Golden recolor check through the REAL pipeline: the first kept
+    # hybrid train image is a recolored digit whose gradient came from
+    # the seed-0 stream; its pixel values must lie on the segment
+    # [c0, c1] of that stream (exact endpoint check needs v=0/1 pixels,
+    # which real images need not contain — range containment pins the
+    # (c0, c1) pair without depending on image content).
+    hyb = Dataset(str(out / "hybrid.npz"), device_put=False)
+    c0 = np.array([0.5488135, 0.71518934, 0.60276335], np.float32)
+    c1 = np.array([0.4375872, 0.891773, 0.96366274], np.float32)
+    first = np.asarray(hyb.x0_tr[0])  # (32, 32, 3), v in [0, 1]
+    lo, hi = np.minimum(c0, c1), np.maximum(c0, c1)
+    assert (first >= lo - 1e-5).all() and (first <= hi + 1e-5).all()
+    # ... and the gradient direction matches: every pixel is
+    # c0 + (c1 - c0) * v for a single scalar v.
+    v = (first - c0) / (c1 - c0)
+    assert np.ptp(v, axis=-1).max() < 1e-4
