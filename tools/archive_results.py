@@ -69,7 +69,14 @@ def _archive_compact(src, dst_dir, part_kb):
     if serdes.compact_src_sha(dst_dir) == src_sha:
         return False
     import numpy as np
-    record = np.load(src, allow_pickle=True)[()]
+    try:
+        record = np.load(src, allow_pickle=True)[()]
+    except Exception as e:
+        # A torn mid-write checkpoint (or a foreign file matching the
+        # checkpoint name pattern) must not abort the whole archive pass.
+        print("  [skip checkpoint over --ckpt-max-kb: %s — compact "
+              "encode failed (%s)]" % (src, type(e).__name__))
+        return False
     manifest = serdes.write_compact(dst_dir, record,
                                     part_bytes=part_kb * 1024,
                                     src_sha=src_sha)
