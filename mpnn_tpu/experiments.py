@@ -279,4 +279,12 @@ def make_adaptive_experiments():
         "synth-cr-dynkcpt-tauhot": Ns(
             dataset="data/synth.npz", net=cr_chain(dyn_k_cpt=True),
             tau=AC_TAU),
+        # The frontier-spanning CR config the 10k probes point at: with
+        # α_cpt=1e9 the price feature's pre-activation swing across the
+        # deployment range becomes decisive (~65x the default's), and
+        # the 10k probe's routing response went from 3/512 examples to
+        # 215/512 with monotone ops (results/cr-probe-*.json).
+        "hybrid-cr-dynkcpt-acpt1e9": Ns(
+            dataset="data/hybrid.npz",
+            net=cr_chain(dyn_k_cpt=True, α_cpt=1e9), tau=CR_TAU),
     }
