@@ -204,12 +204,25 @@ def main():
         }
         records.append(rec)
 
-    # Phase 2 — throwaway warm window per program: the first program
+    # Phase 2 — throwaway warm windows per program: the first program
     # executed in a fresh process is depressed 5-16x by the tunnel's
-    # cold-process transfer penalty (measured: *-r4.json pass-1), so
-    # nothing is recorded until every program has run one full window.
-    warmup = {key: time_program(fn, records[0]["k_cpt"])[0]
-              for key, fn in programs.items() if key != dense_key}
+    # cold-process transfer penalty (measured: *-r4.json pass-1), and a
+    # SINGLE warm window is not always enough (chain-frontier-r5 first
+    # measurement: warm window 13.7k, next window still 3.2k, then
+    # 240k) — so warm ADAPTIVELY: repeat each program's window until
+    # consecutive rates agree within 1.6x (max 4), recording them all.
+    warmup = {}
+    for key, fn in programs.items():
+        if key == dense_key:
+            continue
+        price = next(r["k_cpt"] for r in records if r["_program"] == key)
+        wins = [time_program(fn, price)[0]]
+        while len(wins) < 4:
+            wins.append(time_program(fn, price)[0])
+            hi, lo = max(wins[-2:]), min(wins[-2:])
+            if lo > 0 and hi / lo < 1.6:
+                break
+        warmup[key] = wins
 
     # Phase 3 — timed passes, one window per unique program per pass,
     # program order rotated so no price is systematically first; each
@@ -223,7 +236,7 @@ def main():
                 if rec["_program"] == key:
                     rec["images_per_sec_passes"].append(ips)
     for rec in records:
-        rec["images_per_sec_warmup_window"] = warmup[rec["_program"]]
+        rec["images_per_sec_warmup_windows"] = warmup[rec["_program"]]
         del rec["_program"]
         rec["images_per_sec"] = round(
             float(np.median(rec["images_per_sec_passes"])), 1)
