@@ -64,3 +64,25 @@ def test_no_flags_within_bar(tmp_path):
                                          0.06, 0.08, 0.10, 0.14])
     rows = dict(sc.sweep_rows(str(tmp_path)))
     assert sc.outliers("hybrid-ac", rows["hybrid-ac"]) == []
+
+
+def test_outlier_probe_retrain_explains(tmp_path):
+    """A seed+100 probe retrain under <nets>-probe/ whose err is within
+    the bar converts an UNEXPLAINED flag into a seed-instability
+    annotation; a probe that is ALSO high marks it systematic."""
+    errs = [0.05] * 8
+    errs[7] = 0.18
+    _write_sweep(tmp_path / "nets", "hybrid-sr", errs)
+    probe = tmp_path / "nets-probe" / "hybrid-sr"
+    probe.mkdir(parents=True)
+    np.save(probe / "0007-stats.npy",
+            {"stats_ts": {"acc": 0.93, "moc": 1e6}})
+    rows = dict(sc.sweep_rows(str(tmp_path / "nets")))
+    flags = sc.outliers("hybrid-sr", rows["hybrid-sr"],
+                        probe_dir=str(tmp_path / "nets-probe"))
+    assert len(flags) == 1 and "seed instability" in flags[0]
+    np.save(probe / "0007-stats.npy",
+            {"stats_ts": {"acc": 0.80, "moc": 1e6}})
+    flags = sc.outliers("hybrid-sr", rows["hybrid-sr"],
+                        probe_dir=str(tmp_path / "nets-probe"))
+    assert len(flags) == 1 and "systematic" in flags[0]

@@ -73,14 +73,29 @@ def member_labels(expt, n):
     return [f"member={i}" for i in range(n)], {}
 
 
-def outliers(expt, curve):
+def outliers(expt, curve, probe_dir=None):
+    """probe_dir: a sibling tree of seed+100 probe retrains
+    (`nets-probe/`); a flagged member whose probe result sits within the
+    bar is annotated as seed instability instead of UNEXPLAINED."""
     errs = np.asarray([e for _, _, e in curve])
     med = float(np.median(errs))
     labels, expected = member_labels(expt, len(curve))
     flags = []
     for i, (name, _, err) in enumerate(curve):
         if med > 0 and err > OUTLIER_X * med:
-            why = expected.get(i, "UNEXPLAINED — retry or investigate")
+            why = expected.get(i)
+            if why is None and probe_dir:
+                p = os.path.join(probe_dir, expt, f"{name}-stats.npy")
+                if os.path.exists(p):
+                    d = np.load(p, allow_pickle=True)[()]
+                    perr = 1.0 - float(d["stats_ts"]["acc"])
+                    why = (f"seed instability — seed+100 probe reaches "
+                           f"err {perr:.3f} ({os.path.relpath(p)})"
+                           if perr <= OUTLIER_X * med else
+                           f"probe retrain ALSO high (err {perr:.3f}) — "
+                           f"systematic, investigate")
+            if why is None:
+                why = "UNEXPLAINED — retry or investigate"
             flags.append(f"{name} ({labels[i]}): err {err:.3f} = "
                          f"{err / med:.1f}x median [{why}]")
     return flags
@@ -97,10 +112,11 @@ def main():
     print("| experiment | nets | err range (test) | moc range | "
           f"outliers (>{OUTLIER_X:g}x median err) |")
     print("|---|---|---|---|---|")
+    probe_dir = args.nets_dir.rstrip("/") + "-probe"
     for expt, curve in sweep_rows(args.nets_dir):
         errs = [e for _, _, e in curve]
         mocs = [m for _, m, _ in curve]
-        flags = outliers(expt, curve)
+        flags = outliers(expt, curve, probe_dir=probe_dir)
         any_unexplained |= any("UNEXPLAINED" in f for f in flags)
         print(f"| {expt} | {len(curve)} | "
               f"{min(errs):.4f} – {max(errs):.4f} | "
