@@ -49,16 +49,19 @@ def ref_images_per_sec():
         return 1250.0
 
 
-def measure_routed_inference(n_batches=10, batch_size=1024):
+def measure_routed_inference(n_batches=10, batch_size=1024,
+                             checkpoint=None, data=None):
     """Second half of BASELINE.json's metric: routed sparse inference
     throughput + realized mean op count vs dense masked eval
     (mpnn_tpu.models.infer; scripts/infer-bench is the standalone CLI).
 
     Uses the newest trained flagship chain checkpoint under nets/ when one
     exists (routing then reflects a trained distribution); falls back to a
-    fresh init so the bench works on a blank VM. Returns a dict for the
-    `routed_inference` field of the ONE output JSON line, or None if
-    anything fails (the train metric must never be lost to this)."""
+    fresh init so the bench works on a blank VM. `checkpoint`/`data`
+    override both (tools/dense_crossover.py measures the width ladder
+    with them). Returns a dict for the `routed_inference` field of the
+    ONE output JSON line, or None if anything fails (the train metric
+    must never be lost to this)."""
     import glob
     import time
 
@@ -70,18 +73,20 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
     from mpnn_tpu.utils.serdes import read_net
 
     here = os.path.dirname(os.path.abspath(__file__))
-    ckpt = None
+    ckpt = checkpoint
     # Mid-sweep member (0004 = fifth k_cpt price) of the flagship AC
     # experiments: a net whose trained router actually exits early.
-    for pat in ("nets/hybrid-ac/0004.npy", "nets/synth-ac/0004.npy",
-                "nets/hybrid-ac/000?.npy", "nets/*/000?.npy"):
-        hits = sorted(glob.glob(os.path.join(here, pat)))
-        if hits:
-            # Wildcard fallbacks: take the MIDDLE of the sorted hits, not
-            # hits[0] — member 0000 is the k_cpt=0 net whose router has no
-            # incentive to exit early (its "savings" would be ~0).
-            ckpt = hits[len(hits) // 2]
-            break
+    if ckpt is None:
+        for pat in ("nets/hybrid-ac/0004.npy", "nets/synth-ac/0004.npy",
+                    "nets/hybrid-ac/000?.npy", "nets/*/000?.npy"):
+            hits = sorted(glob.glob(os.path.join(here, pat)))
+            if hits:
+                # Wildcard fallbacks: take the MIDDLE of the sorted hits,
+                # not hits[0] — member 0000 is the k_cpt=0 net whose
+                # router has no incentive to exit early (its "savings"
+                # would be ~0).
+                ckpt = hits[len(hits) // 2]
+                break
     if ckpt is not None:
         try:
             net, params, state, _ = read_net(ckpt)
@@ -92,7 +97,7 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
         net = ac_chain(k_cpt=1e-9)((32, 32, 3), (10,))
         params, state, _ = init_training(net, seed=0)
 
-    data = os.path.join(here, "data", "hybrid.npz")
+    data = data or os.path.join(here, "data", "hybrid.npz")
     y_cls = None  # (B,) int class labels when real test data is available
     x0_cal = None  # held-out (train-split) batch for capacity calibration
     if os.path.exists(data):
@@ -133,6 +138,10 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
         return acc
 
     np.asarray(dense_fwd(params, state, x0))  # compile + settle
+    acc = 0.0
+    for _ in range(max(2, n_batches // 2)):  # throwaway warm window
+        acc = acc + dense_fwd(params, state, x0)
+    np.asarray(acc)
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(n_batches):
@@ -164,10 +173,26 @@ def measure_routed_inference(n_batches=10, batch_size=1024):
         except Exception as e:
             out["calibration_error"] = f"{type(e).__name__}: {e}"
     out["capacity_sweep"] = []
+    # Compile + WARM every program before timing any: the first program
+    # executed right after its (remote) compile is depressed by the
+    # tunnel's cold transfer/dispatch path — r4's driver window recorded
+    # the calibrated entry at 130.5k vs its 182k warm ledger value
+    # (VERDICT r4 weak #4). A throwaway half-window per program brings
+    # pass-1 timing to steady state.
+    progs = []
     for cap in caps:
         infer = make_routed_infer_fn(net, batch_size, capacities=cap)
         r = infer(params, state, x0, None)
         np.asarray(r["ops"])  # sync after compile
+        progs.append((cap, infer))
+    for cap, infer in progs:
+        acc = 0.0
+        for _ in range(max(2, n_batches // 2)):
+            acc = acc + jnp.sum(infer(params, state, x0, None)["ops"])
+        np.asarray(acc)
+    for cap, infer in progs:
+        r = infer(params, state, x0, None)
+        np.asarray(r["ops"])
         t0 = time.perf_counter()
         acc = 0.0
         for _ in range(n_batches):
