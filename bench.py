@@ -91,6 +91,12 @@ def measure_routed_inference(n_batches=10, batch_size=1024,
         try:
             net, params, state, _ = read_net(ckpt)
         except Exception:
+            if checkpoint is not None:
+                # An EXPLICITLY requested checkpoint must not silently
+                # fall back to a fresh base-width init — the caller
+                # (e.g. tools/dense_crossover.py) would publish rows
+                # labeled with a net that was never measured.
+                raise
             ckpt = None
     if ckpt is None:
         from mpnn_tpu.experiments import ac_chain

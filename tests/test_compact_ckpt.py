@@ -149,3 +149,33 @@ def test_archive_restore_prune_compact(tmp_path, synth_dataset):
     ckpt.unlink()
     assert ar.prune(["nets"], str(out), repo=str(tmp_path)) >= 1
     assert not czdir.exists()
+
+
+def test_archive_size_class_change_never_leaves_both(tmp_path,
+                                                     synth_dataset):
+    """A checkpoint that crosses the size cap between archive passes
+    must end up with EXACTLY ONE archived form: the plain copy and the
+    .cz compact dir are mutually exclusive (restore reassembles .cz
+    dirs first, so a stale one would shadow a fresher plain copy)."""
+    net = _small_net(synth_dataset)
+    params, state, _ = init_training(net, 0)
+    expdir = tmp_path / "nets" / "synth-ac"
+    expdir.mkdir(parents=True)
+    ckpt = expdir / "0000.npy"
+    write_net(str(ckpt), net, params, state)
+    size_kb = os.path.getsize(ckpt) / 1024
+    out = tmp_path / "results"
+
+    # Pass 1: cap below size -> compact.
+    ar.archive(["nets"], str(out), 512, repo=str(tmp_path),
+               ckpt_max_kb=max(1, int(size_kb // 3)))
+    dst = out / "nets" / "synth-ac" / "0000.npy"
+    assert (dst.parent / "0000.npy.cz").is_dir() and not dst.exists()
+    # Pass 2: cap above size -> plain copy replaces the compact dir.
+    ar.archive(["nets"], str(out), 512, repo=str(tmp_path),
+               ckpt_max_kb=int(size_kb) + 64)
+    assert dst.exists() and not (dst.parent / "0000.npy.cz").exists()
+    # Pass 3: back under the cap -> compact replaces the plain copy.
+    ar.archive(["nets"], str(out), 512, repo=str(tmp_path),
+               ckpt_max_kb=max(1, int(size_kb // 3)))
+    assert (dst.parent / "0000.npy.cz").is_dir() and not dst.exists()

@@ -165,14 +165,24 @@ def archive(roots, out_root, max_kb, repo=REPO, ckpt_max_kb=0):
                     continue
                 dst = os.path.join(out_root, rel, name)
                 if want == "compact":
+                    # A checkpoint can change size class across retrains:
+                    # never leave BOTH a plain copy and a .cz archive
+                    # (restore processes .cz dirs first, so a stale one
+                    # would shadow the fresher form).
+                    if os.path.exists(dst):
+                        os.remove(dst)
                     if _archive_compact(src, dst + ".cz", ckpt_max_kb):
                         n_copied += 1
                     else:
                         n_kept += 1
-                elif _copy_if_changed(src, dst):
-                    n_copied += 1
                 else:
-                    n_kept += 1
+                    if CHECKPOINT_RE.match(name) and \
+                            os.path.isdir(dst + ".cz"):
+                        shutil.rmtree(dst + ".cz")
+                    if _copy_if_changed(src, dst):
+                        n_copied += 1
+                    else:
+                        n_kept += 1
     # campaign logs: keep only the top-level timeline, not per-run stdout.
     for root in roots:
         log = os.path.join(repo, root, "campaign-logs", "campaign.log")

@@ -60,10 +60,21 @@ def main():
         if not os.path.exists(os.path.join(REPO, ckpt)):
             print(json.dumps({"skip": name, "missing": ckpt}), flush=True)
             continue
-        r = bench.measure_routed_inference(
-            n_batches=args.n_batches, batch_size=args.batch_size,
-            checkpoint=os.path.join(REPO, ckpt),
-            data=os.path.join(REPO, data))
+        try:
+            r = bench.measure_routed_inference(
+                n_batches=args.n_batches, batch_size=args.batch_size,
+                checkpoint=os.path.join(REPO, ckpt),
+                data=os.path.join(REPO, data))
+        except Exception as e:
+            # One bad rung (torn checkpoint, tunnel outage mid-sweep)
+            # must not discard the rungs already measured.
+            rows.append({"net": name, "checkpoint": ckpt,
+                         "error": f"{type(e).__name__}: {e}"})
+            print(json.dumps(rows[-1]), flush=True)
+            with open(args.json, "w") as f:
+                json.dump({"batch_size": args.batch_size, "rows": rows},
+                          f, indent=1)
+            continue
         cal = next((e for e in r["capacity_sweep"]
                     if isinstance(e["capacity"], list)), None)
         row = {
@@ -81,9 +92,10 @@ def main():
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    with open(args.json, "w") as f:
-        json.dump({"batch_size": args.batch_size, "rows": rows}, f,
-                  indent=1)
+        # Incremental write: completed rungs survive a later crash.
+        with open(args.json, "w") as f:
+            json.dump({"batch_size": args.batch_size, "rows": rows}, f,
+                      indent=1)
     print(f"wrote {args.json}")
 
 

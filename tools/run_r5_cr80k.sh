@@ -10,6 +10,10 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs results
 echo $$ > /tmp/r5cr80k.pid
+# Launch-order contract: start predecessor chains FIRST (each writes its
+# pidfile at startup); this grace sleep tolerates near-simultaneous
+# launches where a predecessor has not written its pidfile yet.
+sleep 90
 for pidfile in /tmp/r5crprobe.pid /tmp/r5frontier.pid /tmp/r5width.pid; do
     while [ -f "$pidfile" ] && kill -0 "$(cat "$pidfile")" 2>/dev/null; do
         sleep 60
@@ -22,6 +26,7 @@ run() {
     rc=$?
     echo "=== $(date -u +%H:%M:%S) done  $name rc=$rc" | tee -a nets/campaign-logs/cr80k-r5.log
     [ $rc -ne 0 ] && tail -15 "nets/campaign-logs/$name.log"
+    return $rc
 }
 run train-hybrid-cr-acpt1e9 timeout 7200 ./scripts/train-adaptive-nets \
     hybrid-cr-dynkcpt-acpt1e9 --stats-log

@@ -24,6 +24,7 @@ run() {
     rc=$?
     echo "=== $(date -u +%H:%M:%S) done  $name rc=$rc" | tee -a nets/campaign-logs/crprobe-r5.log
     [ $rc -ne 0 ] && tail -15 "nets/campaign-logs/$name.log"
+    return $rc
 }
 for expt in synth-cr-dynkcpt synth-cr-dynkcpt-acpt1e9 synth-cr-dynkcpt-tauhot; do
     run "train-$expt" timeout 3600 ./scripts/train-adaptive-nets "$expt" \

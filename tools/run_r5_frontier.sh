@@ -9,6 +9,10 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs results/serving-frontier
 echo $$ > /tmp/r5frontier.pid
+# Launch-order contract: start predecessor chains FIRST (each writes its
+# pidfile at startup); this grace sleep tolerates near-simultaneous
+# launches where a predecessor has not written its pidfile yet.
+sleep 90
 while [ -f /tmp/r5crprobe.pid ] && kill -0 "$(cat /tmp/r5crprobe.pid)" 2>/dev/null; do
     sleep 60
 done
@@ -19,6 +23,7 @@ run() {
     rc=$?
     echo "=== $(date -u +%H:%M:%S) done  $name rc=$rc" | tee -a nets/campaign-logs/frontier-r5.log
     [ $rc -ne 0 ] && tail -15 "nets/campaign-logs/$name.log"
+    return $rc
 }
 run frontier-chain-r5 timeout 7200 python tools/serving_frontier.py \
     --checkpoint nets/hybrid-ac-dynkcpt/net.npy \

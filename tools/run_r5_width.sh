@@ -13,6 +13,10 @@ cd "$(dirname "$0")/.."
 mkdir -p nets/campaign-logs
 echo $$ > /tmp/r5width.pid
 # Serialize on the chip: wait for the crprobe + frontier chains.
+# Launch-order contract: start predecessor chains FIRST (each writes its
+# pidfile at startup); this grace sleep tolerates near-simultaneous
+# launches where a predecessor has not written its pidfile yet.
+sleep 90
 for pidfile in /tmp/r5crprobe.pid /tmp/r5frontier.pid; do
     while [ -f "$pidfile" ] && kill -0 "$(cat "$pidfile")" 2>/dev/null; do
         sleep 60
@@ -28,6 +32,7 @@ run() {
         tail -20 "nets/campaign-logs/$name.log"
         echo "FAILURES: $name rc=$rc" | tee -a nets/campaign-logs/width-r5.log
     fi
+    return $rc
 }
 WS="--n-iter 80000 --precision bf16 --analytic-l2"
 # timeout = hang insurance (see run_r4_campaign.sh: a tunnel outage once

@@ -162,9 +162,11 @@ def main():
     dense_key = tuple([1.0] * n_switches)
     programs = {}  # schedule tuple -> compiled infer fn (shared shapes)
     records = []
+    fracs_by_price = {}  # UNROUNDED schedule per price (latency reuses it)
     for price in k_cpts:
         fracs = calibrate_capacities(net, params, state, x0_cal,
                                      margin=args.margin, k_cpt=price)
+        fracs_by_price[price] = fracs
         key = tuple(fracs)
         if key not in programs:
             programs[key] = make_routed_infer_fn(net, B, capacities=fracs)
@@ -211,10 +213,16 @@ def main():
     # measurement: warm window 13.7k, next window still 3.2k, then
     # 240k) — so warm ADAPTIVELY: repeat each program's window until
     # consecutive rates agree within 1.6x (max 4), recording them all.
+    # NOTE a price whose calibrated schedule is all-1.0 shares the dense
+    # cross-check's program; timed keys are those REFERENCED by records
+    # (dense_key included then), not programs-minus-dense.
+    keys = []
+    for rec in records:
+        if rec["_program"] not in keys:
+            keys.append(rec["_program"])
     warmup = {}
-    for key, fn in programs.items():
-        if key == dense_key:
-            continue
+    for key in keys:
+        fn = programs[key]
         price = next(r["k_cpt"] for r in records if r["_program"] == key)
         wins = [time_program(fn, price)[0]]
         while len(wins) < 4:
@@ -227,7 +235,6 @@ def main():
     # Phase 3 — timed passes, one window per unique program per pass,
     # program order rotated so no price is systematically first; each
     # pass's result fans out to the records sharing the program.
-    keys = [k for k in programs if k != dense_key]
     for p in range(max(1, args.measure_passes)):
         for key in keys[p % len(keys):] + keys[:p % len(keys)]:
             price = next(r["k_cpt"] for r in records if r["_program"] == key)
@@ -255,7 +262,11 @@ def main():
         for price in lat_prices:
             rec = min(records, key=lambda r: abs(r["k_cpt"] - price))
             rec.setdefault("latency_ms", {})
-            fracs = rec["capacities"]
+            # The UNROUNDED calibrated schedule: the rec's display
+            # values are rounded to 4 decimals, which at larger latency
+            # batches would induce different ceil(f*B) buffer shapes
+            # than the schedule the frontier actually timed.
+            fracs = fracs_by_price[rec["k_cpt"]]
             for lb in lat_batches:
                 lfn = make_routed_infer_fn(net, lb, capacities=fracs)
                 xs = x0[:lb]
@@ -279,7 +290,7 @@ def main():
         "batch_size": B, "margin": args.margin,
         "measure_passes": args.measure_passes,
         "estimator": "median of timed passes (warm window discarded)",
-        "n_programs": len(programs) - 1,  # minus the dense cross-check
+        "n_programs": len(keys),  # programs referenced by price records
         "n_prices": len(k_cpts),
         "ops_span": round(max(r["mean_ops_per_example"] for r in records)
                           / min(r["mean_ops_per_example"] for r in records),
