@@ -114,3 +114,24 @@ def test_restore_never_overwrites_live_files(repo, tmp_path):
     live.write_bytes(b"live-training-output")
     assert ar.restore(str(out), repo=str(fresh)) == 0
     assert live.read_bytes() == b"live-training-output"
+
+
+def test_restore_skips_direct_results_artifacts(repo, tmp_path):
+    """Direct results/ artifacts (bench JSONs, serving-frontier/, ...)
+    live IN results/ and must not be replanted relative to the repo
+    root — only snapshot roots (nets/, figures/, ...) are restored.
+    Regression: the 2026-08-21 fresh-VM boot left junk duplicates of
+    every direct artifact at the repo top level."""
+    out = repo / "results"
+    ar.archive(["nets", "figures"], str(out), 512, repo=str(repo))
+    (out / "bench-r5-warmcheck.json").write_text('{"v": 1}')
+    sf = out / "serving-frontier"
+    sf.mkdir()
+    (sf / "chain-frontier.json").write_text("{}")
+    fresh = tmp_path / "fresh-vm"
+    fresh.mkdir()
+    ar.restore(str(out), repo=str(fresh))
+    assert (fresh / "nets" / "synth-sr" / "0000-stats.npy").exists()
+    assert (fresh / "figures" / "acc-eff.svg").exists()
+    assert not (fresh / "bench-r5-warmcheck.json").exists()
+    assert not (fresh / "serving-frontier").exists()

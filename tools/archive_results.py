@@ -193,17 +193,31 @@ def archive(roots, out_root, max_kb, repo=REPO, ckpt_max_kb=0):
     return n_copied, n_kept
 
 
-def restore(out_root, repo=REPO):
+# Live roots the archiver snapshots into results/<root>/. restore()
+# replants ONLY these: results/ also holds direct artifacts written by
+# other tools (bench-*.json, serving-frontier/, multichip/, cr-probe-*)
+# whose home IS results/ — replanting those relative to the repo root
+# created junk duplicates (found on the 2026-08-21 fresh-VM boot).
+RESTORE_ROOTS = ("nets", "nets-stacked", "nets-probe",
+                 "figures", "figures-stacked")
+
+
+def restore(out_root, repo=REPO, roots=RESTORE_ROOTS):
     """Copy archived snapshots back under the repo root, never
     overwriting a live file. Gives a fresh VM's figure CLIs the previous
     rounds' stats immediately, and — for experiments whose final
     checkpoints were archived with --include-checkpoints — gives
     `--resume` and bench.py's routed-inference half trained params with
-    zero retraining (VERDICT r3 weak #1)."""
+    zero retraining (VERDICT r3 weak #1). Only results/<root>/ subtrees
+    for root in `roots` are replanted; direct results/ artifacts stay
+    where they live."""
     n = 0
     if not os.path.isdir(out_root):
         return n
-    for dirpath, dirnames, filenames in os.walk(out_root):
+    walk = [p for r in roots
+            for p in [os.path.join(out_root, r)] if os.path.isdir(p)]
+    for dirpath, dirnames, filenames in (
+            (d, dn, fn) for w in walk for d, dn, fn in os.walk(w)):
         rel = os.path.relpath(dirpath, out_root)
         # Compact checkpoint archives: reassemble 'X.npy.cz/' back into a
         # live 'X.npy' (floats restored to fp32) instead of copying parts.
